@@ -1,0 +1,104 @@
+"""Frontend parity: device log-mel vs the independent librosa-semantics
+oracle (reference `feature.py:55-59` behavior)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sed_crnn_tpu.core.config import FrontendConfig
+from sed_crnn_tpu.ops import frontend, stft
+from sed_crnn_tpu.ops.mel import mel_filterbank
+
+from tests.oracle.librosa_ref import (
+    oracle_hann,
+    oracle_log_mel,
+    oracle_mel_fb,
+    oracle_stft_power,
+)
+
+
+def _tone_mix(rng, n, sr=44100):
+    t = np.arange(n) / sr
+    y = (
+        0.4 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 3517.0 * t + 0.3)
+        + 0.05 * rng.standard_normal(n)
+    )
+    return y.astype(np.float32)
+
+
+def test_hann_window_matches_oracle():
+    np.testing.assert_allclose(stft.hann_window(2048), oracle_hann(2048), atol=1e-7)
+
+
+def test_mel_filterbank_matches_oracle():
+    fb = mel_filterbank(44100, 2048, 40)
+    ref = oracle_mel_fb(44100, 2048, 40)
+    assert fb.shape == (40, 1025)
+    np.testing.assert_allclose(fb, ref, rtol=1e-5, atol=1e-9)
+    # every interior band should have positive area
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_frame_count_matches_oracle(rng):
+    for n in [2048, 44100, 44100 * 2 + 777]:
+        y = _tone_mix(rng, n)
+        frames = stft.num_frames(n, 2048, 1024)
+        assert frames == oracle_stft_power(y).shape[0]
+
+
+@pytest.mark.parametrize("backend", ["fft", "matmul"])
+def test_stft_power_parity(rng, backend):
+    y = _tone_mix(rng, 44100)  # 1 second
+    got = np.asarray(stft.stft_power(jnp.asarray(y), 2048, 1024, backend=backend))
+    ref = oracle_stft_power(y)
+    assert got.shape == ref.shape
+    # float32 device FFT vs float64 oracle: compare relative to spectrum peak
+    scale = ref.max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=5e-6)
+
+
+@pytest.mark.parametrize("backend", ["fft", "matmul"])
+def test_log_mel_parity(rng, backend):
+    y = _tone_mix(rng, 44100 + 12345)
+    cfg = FrontendConfig(backend=backend)
+    got = frontend.extract(y, cfg)
+    ref = oracle_log_mel(y)
+    assert got.shape == ref.shape == (stft.num_frames(len(y), 2048, 1024), 40)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_log_mel_framing_vs_gather_path(rng):
+    # hop that does not divide n_fft exercises the gather fallback
+    y = _tone_mix(rng, 20000)
+    a = np.asarray(stft.frame_signal(jnp.asarray(y), 2048, 1024))
+    b = np.asarray(stft.frame_signal(jnp.asarray(y), 2048, 1000))
+    assert a.shape[1] == b.shape[1] == 2048
+    # the two paths agree where hops coincide (frame 0)
+    np.testing.assert_allclose(a[0], b[0], atol=0)
+
+
+def test_norm_stats_match_sklearn(rng):
+    from sklearn.preprocessing import StandardScaler
+
+    x = rng.standard_normal((500, 40)).astype(np.float32) * 3.1 + 0.7
+    x[:, 7] = 2.5  # zero-variance bin -> scale must stay 1
+    stats = frontend.fit_norm_stats(jnp.asarray(x))
+    sk = StandardScaler().fit(x)
+    np.testing.assert_allclose(np.asarray(stats.mean), sk.mean_, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats.scale), sk.scale_, rtol=1e-4)
+
+    got = np.asarray(frontend.normalize(jnp.asarray(x), stats))
+    ref = sk.transform(x)
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_log_floor_guards_silence():
+    y = np.zeros(8192, dtype=np.float32)
+    cfg = FrontendConfig(log_floor=1e-30)
+    out = frontend.extract(y, cfg)
+    assert np.isfinite(out).all()
+    # parity mode reproduces the reference's -inf on silence
+    out_parity = frontend.extract(y, FrontendConfig())
+    assert np.isneginf(out_parity).all()
