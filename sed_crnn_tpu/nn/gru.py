@@ -1,0 +1,112 @@
+"""GRU recurrences as `lax.scan`, TPU-first.
+
+The reference relies on cuDNN GRUs (`sed.py:101-102`, single stacked
+bidirectional 2-layer GRU; `crnn_lightning.py:61-62`, two successive
+bidirectional GRUs). Here the recurrence is expressed the XLA way:
+
+* the input projection for ALL timesteps is hoisted out of the loop as one
+  large ``(B*T, in) @ (in, 3H)`` GEMM (MXU-friendly, no per-step small
+  matmuls on the input path);
+* `lax.scan` carries only the ``(B, H) @ (H, 3H)`` recurrent GEMM;
+* the backward direction is the same scan with ``reverse=True`` — no data
+  reversal copies.
+
+Gate order is (reset, update, candidate) in torch/cuDNN weight layout, with
+``reset_after=True`` semantics (reset gate applied to the *projected* hidden
+state, `h_n = tanh(x_n + r * (W_hn h + b_hn))`). ``reset_after=False`` gives
+the Keras-2.2-era convention used by the legacy DCASE SEDnet
+(`requirements.txt:1` keras==2.2.4), where reset is applied to ``h`` before
+the recurrent matmul and there is a single bias.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GRU:
+    in_dim: int
+    hidden: int
+    reset_after: bool = True
+
+    def init(self, key, dtype=jnp.float32):
+        ks = jax.random.split(key, 4)
+        bound = 1.0 / jnp.sqrt(self.hidden)
+        h3 = 3 * self.hidden
+
+        def u(k, shape):
+            return jax.random.uniform(k, shape, dtype, minval=-bound, maxval=bound)
+
+        params = {
+            "wi": u(ks[0], (self.in_dim, h3)),
+            "wh": u(ks[1], (self.hidden, h3)),
+            "bi": u(ks[2], (h3,)),
+        }
+        if self.reset_after:
+            params["bh"] = u(ks[3], (h3,))
+        return params
+
+    def apply(self, params, x, h0=None, reverse: bool = False):
+        """x (B, T, in) -> outputs (B, T, H); returns (outputs, h_last)."""
+        B, T, _ = x.shape
+        H = self.hidden
+        if h0 is None:
+            h0 = jnp.zeros((B, H), x.dtype)
+
+        # One big GEMM for every timestep's input projection.
+        xp = jnp.dot(x, params["wi"]) + params["bi"]      # (B, T, 3H)
+        xp = jnp.swapaxes(xp, 0, 1)                       # (T, B, 3H) scan-major
+        wh = params["wh"]
+        bh = params.get("bh")
+
+        def step(h, xt):
+            xr, xz, xn = xt[:, :H], xt[:, H : 2 * H], xt[:, 2 * H :]
+            if self.reset_after:
+                hp = jnp.dot(h, wh) + bh
+                hr, hz, hn = hp[:, :H], hp[:, H : 2 * H], hp[:, 2 * H :]
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)
+            else:
+                hr = jnp.dot(h, wh[:, :H])
+                hz = jnp.dot(h, wh[:, H : 2 * H])
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + jnp.dot(r * h, wh[:, 2 * H :]))
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
+
+        h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1), h_last             # (B, T, H)
+
+
+@dataclasses.dataclass(frozen=True)
+class BiGRU:
+    """Bidirectional GRU; output is [forward ; backward] concat (2H)."""
+
+    in_dim: int
+    hidden: int
+    reset_after: bool = True
+
+    @property
+    def _cell(self) -> GRU:
+        return GRU(self.in_dim, self.hidden, self.reset_after)
+
+    def init(self, key, dtype=jnp.float32):
+        kf, kb = jax.random.split(key)
+        return {"fwd": self._cell.init(kf, dtype), "bwd": self._cell.init(kb, dtype)}
+
+    def apply(self, params, x, h0=None, reverse=None):
+        """x (B, T, in) -> (B, T, 2H). ``h0`` optional dict with 'fwd'/'bwd'
+        initial states (used by streaming inference to carry state across
+        chunks)."""
+        del reverse
+        h0f = None if h0 is None else h0.get("fwd")
+        h0b = None if h0 is None else h0.get("bwd")
+        yf, hf = self._cell.apply(params["fwd"], x, h0f, reverse=False)
+        yb, hb = self._cell.apply(params["bwd"], x, h0b, reverse=True)
+        return jnp.concatenate([yf, yb], axis=-1), {"fwd": hf, "bwd": hb}

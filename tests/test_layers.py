@@ -1,0 +1,125 @@
+"""Layer-level parity vs torch: Conv2d, BatchNorm2d (train + eval +
+running-stat updates), max-pool, dropout statistics."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sed_crnn_tpu.nn.layers import BatchNorm2d, Conv2d, Ctx, Dropout, max_pool2d
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _to_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def test_conv2d_matches_torch(rng):
+    torch.manual_seed(0)
+    tc = torch.nn.Conv2d(3, 8, 3, padding=1)
+    x = rng.standard_normal((2, 10, 12, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = _to_nhwc(tc(_nchw(x)))
+
+    conv = Conv2d(3, 8, (3, 3))
+    params = {
+        "w": jnp.asarray(tc.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "b": jnp.asarray(tc.bias.detach().numpy()),
+    }
+    got = np.asarray(conv.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_batchnorm_train_and_eval_match_torch(rng):
+    torch.manual_seed(1)
+    tb = torch.nn.BatchNorm2d(5)
+    with torch.no_grad():
+        tb.weight.uniform_(0.5, 1.5)
+        tb.bias.uniform_(-0.5, 0.5)
+
+    bn = BatchNorm2d(5)
+    params = {
+        "scale": jnp.asarray(tb.weight.detach().numpy()),
+        "bias": jnp.asarray(tb.bias.detach().numpy()),
+    }
+    state = {"mean": jnp.zeros(5), "var": jnp.ones(5)}
+
+    # two train steps: outputs AND running stats must track torch
+    for seed in (0, 1):
+        x = rng.standard_normal((4, 6, 7, 5)).astype(np.float32)
+        tb.train()
+        ref = _to_nhwc(tb(_nchw(x)))
+        got, state = bn.apply(params, state, jnp.asarray(x), Ctx(train=True))
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+    np.testing.assert_allclose(
+        np.asarray(state["mean"]), tb.running_mean.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["var"]), tb.running_var.numpy(), atol=1e-5
+    )
+
+    # eval uses running stats
+    x = rng.standard_normal((4, 6, 7, 5)).astype(np.float32)
+    tb.eval()
+    with torch.no_grad():
+        ref = _to_nhwc(tb(_nchw(x)))
+    got, _ = bn.apply(params, state, jnp.asarray(x), Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_cross_replica_batchnorm_equals_global_batch(rng):
+    """BN with psum over an 8-device mesh == BN over the concatenated batch."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    bn = BatchNorm2d(4)
+    params = {"scale": jnp.ones(4) * 1.3, "bias": jnp.ones(4) * 0.2}
+    state = {"mean": jnp.zeros(4), "var": jnp.ones(4)}
+    x = rng.standard_normal((16, 3, 5, 4)).astype(np.float32)
+
+    ref, ref_state = bn.apply(params, state, jnp.asarray(x), Ctx(train=True))
+
+    def sharded(xs):
+        y, st = bn.apply(params, state, xs, Ctx(train=True, axis_name="data"))
+        return y, st
+
+    f = shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=(P("data"), P()),
+    )
+    got, got_state = f(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_state["var"]), np.asarray(ref_state["var"]), atol=1e-5
+    )
+
+
+def test_maxpool_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 12, 3)).astype(np.float32)
+    ref = _to_nhwc(torch.nn.MaxPool2d((1, 2))(_nchw(x)))
+    got = np.asarray(max_pool2d(jnp.asarray(x), (1, 2)))
+    np.testing.assert_allclose(got, ref, atol=0)
+
+    ref5 = _to_nhwc(torch.nn.MaxPool2d((5, 1))(_nchw(x)))
+    got5 = np.asarray(max_pool2d(jnp.asarray(x), (5, 1)))
+    np.testing.assert_allclose(got5, ref5, atol=0)
+
+
+def test_dropout_statistics_and_eval_identity(rng):
+    drop = Dropout(0.5)
+    x = jnp.ones((1000, 100))
+    out = drop.apply(x, Ctx(train=True, rng=jax.random.PRNGKey(0)))
+    kept = np.asarray(out != 0)
+    assert abs(kept.mean() - 0.5) < 0.02
+    np.testing.assert_allclose(np.asarray(out).mean(), 1.0, atol=0.05)
+    # eval = identity
+    np.testing.assert_array_equal(np.asarray(drop.apply(x, Ctx(train=False))), np.asarray(x))
