@@ -1,0 +1,150 @@
+"""Segment-based polyphonic SED metrics (Mesaros et al. 2016) as vectorized
+on-device reductions, reproducing the reference implementation's exact
+semantics (reference `metrics.py:14-74`) so ER/F1 numbers are directly
+comparable:
+
+* framewise F1 with ``TP = ((2T - O) == 1).sum()`` and machine-eps guards on
+  precision/recall denominators;
+* framewise ER with per-row substitutions/deletions/insertions and an
+  UNGUARDED ``Nref`` denominator (0/0 -> NaN on empty references, inf when
+  only false positives exist — the reference's behavior, reproduced here);
+* 1-second-segment variants that max-pool frames into blocks first, keeping
+  the reference's block-count asymmetry: F1 pads to ceil(N/block) blocks
+  while ER truncates to floor(N/block) blocks;
+* a `vmap`'d threshold sweep over probabilities.
+
+All functions are jittable with static block sizes; 3-D ``(N, T, C)`` inputs
+are flattened to ``(N*T, C)`` first, as in the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Machine epsilon for float64 — the reference uses np.finfo(float).eps in the
+# F1 denominators.
+EPS = float(np.finfo(np.float64).eps)
+
+
+def _as_2d(x: jnp.ndarray) -> jnp.ndarray:
+    if x.ndim == 3:
+        return x.reshape(x.shape[0] * x.shape[1], x.shape[2])
+    if x.ndim == 1:
+        return x[:, None]
+    return x
+
+
+def _block_max(x: jnp.ndarray, block: int, mode: str) -> jnp.ndarray:
+    """Max-pool frames into blocks. mode='ceil' zero-pads the tail block (F1
+    path); mode='floor' drops the partial tail block (ER path)."""
+    n, c = x.shape
+    if mode == "ceil":
+        n_blocks = -(-n // block)
+        pad = n_blocks * block - n
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    else:
+        n_blocks = n // block
+        x = x[: n_blocks * block]
+    return x.reshape(n_blocks, block, c).max(axis=1)
+
+
+def f1_framewise(outputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    o = _as_2d(outputs).astype(jnp.float32)
+    t = _as_2d(targets).astype(jnp.float32)
+    tp = jnp.sum((2.0 * t - o) == 1.0)
+    nref, nsys = jnp.sum(t), jnp.sum(o)
+    prec = tp / (nsys + EPS)
+    recall = tp / (nref + EPS)
+    return 2.0 * prec * recall / (prec + recall + EPS)
+
+
+def er_framewise(outputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    o = _as_2d(outputs).astype(jnp.float32)
+    t = _as_2d(targets).astype(jnp.float32)
+    fp = jnp.sum((t == 0.0) & (o == 1.0), axis=1).astype(jnp.float32)
+    fn = jnp.sum((t == 1.0) & (o == 0.0), axis=1).astype(jnp.float32)
+    subs = jnp.sum(jnp.minimum(fp, fn))
+    dels = jnp.sum(jnp.maximum(0.0, fn - fp))
+    ins = jnp.sum(jnp.maximum(0.0, fp - fn))
+    nref = jnp.sum(t)
+    return (subs + dels + ins) / nref  # unguarded, parity with reference
+
+
+@partial(jax.jit, static_argnums=(2,))
+def f1_segment(outputs: jnp.ndarray, targets: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    o, t = _as_2d(outputs), _as_2d(targets)
+    return f1_framewise(_block_max(o, block_size, "ceil"), _block_max(t, block_size, "ceil"))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def er_segment(outputs: jnp.ndarray, targets: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    o, t = _as_2d(outputs), _as_2d(targets)
+    return er_framewise(_block_max(o, block_size, "floor"), _block_max(t, block_size, "floor"))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def compute_scores(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int = 50) -> Dict[str, jnp.ndarray]:
+    """The reference's `compute_scores` contract (`metrics.py:70-74`)."""
+    return {
+        "f1_overall_1sec": f1_segment(pred, y, frames_in_1_sec),
+        "er_overall_1sec": er_segment(pred, y, frames_in_1_sec),
+    }
+
+
+@partial(jax.jit, static_argnums=(2,))
+def all_scores(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int) -> Dict[str, jnp.ndarray]:
+    """Framewise + 1-sec F1/ER plus the binary confusion matrix the v2
+    training loop logs (`crnn_lightning.py:116-126`)."""
+    o, t = _as_2d(pred), _as_2d(y)
+    ob = o.astype(jnp.bool_)
+    tb = t.astype(jnp.bool_)
+    return {
+        "f1_frame": f1_framewise(o, t),
+        "er_frame": er_framewise(o, t),
+        "f1_overall_1sec": f1_segment(o, t, frames_in_1_sec),
+        "er_overall_1sec": er_segment(o, t, frames_in_1_sec),
+        "tn": jnp.sum(~ob & ~tb),
+        "fp": jnp.sum(ob & ~tb),
+        "fn": jnp.sum(~ob & tb),
+        "tp": jnp.sum(ob & tb),
+    }
+
+
+@partial(jax.jit, static_argnums=(3,))
+def threshold_sweep(
+    probs: jnp.ndarray,
+    targets: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    frames_in_1_sec: int,
+):
+    """Evaluate (f1_1sec, er_1sec) for every threshold in one vmapped device
+    program. Returns arrays shaped like ``thresholds``."""
+    p = _as_2d(probs)
+    t = _as_2d(targets)
+
+    def one(th):
+        o = (p > th).astype(jnp.float32)
+        return (
+            f1_framewise(_block_max(o, frames_in_1_sec, "ceil"), _block_max(t, frames_in_1_sec, "ceil")),
+            er_framewise(_block_max(o, frames_in_1_sec, "floor"), _block_max(t, frames_in_1_sec, "floor")),
+        )
+
+    return jax.vmap(one)(thresholds)
+
+
+def best_threshold(probs, targets, thresholds, frames_in_1_sec: int):
+    """Threshold minimizing segment ER (BASELINE config 4's sweep)."""
+    f1s, ers = threshold_sweep(probs, targets, jnp.asarray(thresholds), frames_in_1_sec)
+    i = jnp.argmin(ers)
+    return {
+        "threshold": jnp.asarray(thresholds)[i],
+        "er": ers[i],
+        "f1": f1s[i],
+        "all_f1": f1s,
+        "all_er": ers,
+    }

@@ -1,0 +1,151 @@
+"""Golden tests: on-device metrics vs the numpy oracle (reference
+`metrics.py:14-74` semantics incl. quirks) and losses vs torch."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from sed_crnn_tpu.ops import losses, metrics
+
+from tests.oracle.metrics_ref import (
+    ref_er_1sec,
+    ref_er_frame,
+    ref_f1_1sec,
+    ref_f1_frame,
+)
+
+
+def _rand_bin(rng, shape, p):
+    return (rng.random(shape) < p).astype(np.float32)
+
+
+@pytest.mark.parametrize("shape", [(300, 1), (257, 6), (16, 32, 1)])
+@pytest.mark.parametrize("density", [0.02, 0.3, 0.7])
+def test_framewise_scores_match_oracle(rng, shape, density):
+    o = _rand_bin(rng, shape, density)
+    t = _rand_bin(rng, shape, density)
+    np.testing.assert_allclose(
+        float(metrics.f1_framewise(jnp.asarray(o), jnp.asarray(t))),
+        ref_f1_frame(o, t),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(metrics.er_framewise(jnp.asarray(o), jnp.asarray(t))),
+        ref_er_frame(o, t),
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("n,block", [(250, 5), (253, 5), (299, 50), (43, 43), (40, 43)])
+def test_segment_scores_match_oracle_incl_partial_blocks(rng, n, block):
+    """Exercises the ceil-vs-floor partial-block asymmetry: n not a multiple
+    of block means F1 sees one more block than ER."""
+    o = _rand_bin(rng, (n, 6), 0.2)
+    t = _rand_bin(rng, (n, 6), 0.2)
+    np.testing.assert_allclose(
+        float(metrics.f1_segment(jnp.asarray(o), jnp.asarray(t), block)),
+        ref_f1_1sec(o, t, block),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(metrics.er_segment(jnp.asarray(o), jnp.asarray(t), block)),
+        ref_er_1sec(o, t, block),
+        atol=1e-6,
+    )
+
+
+def test_compute_scores_contract(rng):
+    o = _rand_bin(rng, (500, 1), 0.1)
+    t = _rand_bin(rng, (500, 1), 0.1)
+    s = metrics.compute_scores(jnp.asarray(o), jnp.asarray(t), 5)
+    assert set(s) == {"f1_overall_1sec", "er_overall_1sec"}
+    np.testing.assert_allclose(float(s["f1_overall_1sec"]), ref_f1_1sec(o, t, 5), atol=1e-6)
+
+
+def test_er_empty_reference_parity(rng):
+    """Reference divides by Nref with no guard: all-zero targets -> NaN/inf."""
+    o = _rand_bin(rng, (100, 1), 0.3)
+    t = np.zeros((100, 1), np.float32)
+    got = float(metrics.er_framewise(jnp.asarray(o), jnp.asarray(t)))
+    ref = ref_er_frame(o, t)
+    assert np.isinf(got) and np.isinf(ref)  # FP present, Nref 0
+    got0 = float(metrics.er_framewise(jnp.zeros((10, 1)), jnp.zeros((10, 1))))
+    assert np.isnan(got0)  # 0/0
+
+
+def test_bool_inputs_accepted(rng):
+    o = _rand_bin(rng, (120, 3), 0.4).astype(bool)
+    t = _rand_bin(rng, (120, 3), 0.4).astype(bool)
+    np.testing.assert_allclose(
+        float(metrics.f1_segment(jnp.asarray(o), jnp.asarray(t), 7)),
+        ref_f1_1sec(o, t, 7),
+        atol=1e-6,
+    )
+
+
+def test_all_scores_confusion_matrix(rng):
+    o = _rand_bin(rng, (200, 1), 0.3)
+    t = _rand_bin(rng, (200, 1), 0.3)
+    s = metrics.all_scores(jnp.asarray(o), jnp.asarray(t), 5)
+    tn, fp, fn, tp = (int(s[k]) for k in ("tn", "fp", "fn", "tp"))
+    assert tn + fp + fn + tp == 200
+    assert tp == int(np.logical_and(o == 1, t == 1).sum())
+
+
+def test_threshold_sweep_matches_pointwise(rng):
+    p = rng.random((400, 1)).astype(np.float32)
+    t = _rand_bin(rng, (400, 1), 0.2)
+    ths = np.linspace(0.1, 0.9, 9).astype(np.float32)
+    f1s, ers = metrics.threshold_sweep(jnp.asarray(p), jnp.asarray(t), jnp.asarray(ths), 5)
+    for i, th in enumerate(ths):
+        o = (p > th).astype(np.float32)
+        np.testing.assert_allclose(float(f1s[i]), ref_f1_1sec(o, t, 5), atol=1e-6)
+        np.testing.assert_allclose(float(ers[i]), ref_er_1sec(o, t, 5), atol=1e-6)
+    best = metrics.best_threshold(jnp.asarray(p), jnp.asarray(t), ths, 5)
+    assert float(best["er"]) == pytest.approx(float(np.min(ers)))
+
+
+# ---------------- losses ----------------
+
+
+def test_bce_matches_torch(rng):
+    logits = rng.standard_normal((64, 8, 1)).astype(np.float32) * 3
+    targets = _rand_bin(rng, (64, 8, 1), 0.5)
+    ref = torch.nn.BCEWithLogitsLoss()(torch.from_numpy(logits), torch.from_numpy(targets))
+    got = losses.bce_with_logits(jnp.asarray(logits), jnp.asarray(targets))
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-6)
+
+
+def test_bce_extreme_logits_stable():
+    logits = jnp.asarray([[-80.0], [80.0], [0.0]])
+    targets = jnp.asarray([[0.0], [1.0], [1.0]])
+    got = float(losses.bce_with_logits(logits, targets))
+    assert np.isfinite(got)
+    import jax
+
+    g = jax.grad(lambda l: losses.bce_with_logits(l, targets))(logits)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_focal_matches_reference_formula(rng):
+    """Oracle: the reference's focal definition (`crnn_lightning.py:31-35`)
+    evaluated with torch ops."""
+    logits = rng.standard_normal((32, 8, 1)).astype(np.float32) * 2
+    targets = _rand_bin(rng, (32, 8, 1), 0.5)
+    tl, tt = torch.from_numpy(logits), torch.from_numpy(targets)
+    pt = torch.sigmoid(tl)
+    pt = torch.where(tt == 1, pt, 1 - pt)
+    ref = (-0.25 * (1 - pt) ** 2.0 * torch.log(pt + 1e-12)).mean()
+    got = losses.focal_bce(jnp.asarray(logits), jnp.asarray(targets))
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-6)
+
+
+def test_make_loss_registry():
+    assert losses.make_loss("bce") is losses.bce_with_logits
+    f = losses.make_loss("focal", alpha=0.5, gamma=1.0)
+    out = f(jnp.zeros((4, 1)), jnp.ones((4, 1)))
+    np.testing.assert_allclose(float(out), 0.5 * 0.5 * np.log(2), atol=1e-5)
+    with pytest.raises(ValueError):
+        losses.make_loss("mse")
