@@ -125,6 +125,8 @@ class TrainConfig:
     seed: int = 42
     checkpoint_policy: str = "best"  # "best" | "all" (v2 saves every epoch)
     k_folds: int = 4
+    spec_augment: bool = False      # v2 trains with SpecAugment masking
+    plot_every: int = 1             # epochs between artifact plots (0 = off)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,6 +191,7 @@ def _timepooled_v2() -> ExperimentConfig:
             plateau_patience=10,
             frames_in_1_sec=5,
             checkpoint_policy="all",
+            spec_augment=True,
         ),
     )
 

@@ -55,7 +55,9 @@ class GRU:
         B, T, _ = x.shape
         H = self.hidden
         if h0 is None:
-            h0 = jnp.zeros((B, H), x.dtype)
+            # Derive the zeros from x (zeros_like keeps sharding/varying-axis
+            # metadata under shard_map, where a fresh jnp.zeros would not).
+            h0 = jnp.broadcast_to(jnp.zeros_like(x[:, 0, :1]), (B, H))
 
         # One big GEMM for every timestep's input projection.
         xp = jnp.dot(x, params["wi"]) + params["bi"]      # (B, T, 3H)

@@ -154,15 +154,13 @@ class Dropout:
 
 
 def max_pool2d(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
-    """Non-overlapping max pool over the (H, W) axes of NHWC input."""
-    if window == (1, 1):
+    """Non-overlapping max pool over the (H, W) axes of NHWC input, as a
+    reshape + max (stride == window throughout this model family; torch
+    MaxPool2d floor-truncates ragged edges, reproduced by slicing)."""
+    ph, pw = window
+    if (ph, pw) == (1, 1):
         return x
-    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    return jax.lax.reduce_window(
-        x,
-        jnp.asarray(init, x.dtype),
-        jax.lax.max,
-        window_dimensions=(1, window[0], window[1], 1),
-        window_strides=(1, window[0], window[1], 1),
-        padding="VALID",
-    )
+    b, h, w, c = x.shape
+    x = x[:, : (h // ph) * ph, : (w // pw) * pw, :]
+    x = x.reshape(b, h // ph, ph, w // pw, pw, c)
+    return x.max(axis=(2, 4))
