@@ -1,0 +1,201 @@
+"""Headline benchmark: end-to-end audio-hours/sec per chip for the
+feature-extraction + training pipeline (the BASELINE.json metric), measured
+on real hardware, with the CPU reference implementation (numpy/scipy frontend
++ torch CRNN, i.e. what the reference repo runs) measured inline as the
+baseline denominator.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "audio-hours/sec", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FRAMES_PER_SEC = 44100 / 1024.0
+WINDOW = 64
+BATCH = 128
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _tone(seconds, sr=44100, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    return (
+        0.3 * np.sin(2 * np.pi * 440 * t)
+        + 0.1 * np.sin(2 * np.pi * 2310 * t)
+        + 0.02 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from sed_crnn_tpu.core.config import FrontendConfig, get_preset
+    from sed_crnn_tpu.data import rasterize
+    from sed_crnn_tpu.ops.frontend import log_mel_energies
+    from sed_crnn_tpu.train.loop import Trainer, make_samplers
+    from sed_crnn_tpu.models import get_model
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    # NOTE on timing: under the axon remote-TPU platform,
+    # `block_until_ready` resolves before the computation actually retires,
+    # so every measurement below forces a host materialization of a value
+    # that depends on the full computation. Host<->device transfers ride a
+    # slow tunnel, so inputs stay modest (~40 MB) and the repetition loop
+    # runs ON DEVICE (fori_loop with a per-iteration input perturbation that
+    # defeats loop-invariant hoisting) to amortize the ~30 ms roundtrip.
+
+    # ---- frontend throughput: audio-seconds featurized per second --------
+    audio_sec = 240.0
+    reps_on_device = 20
+    wav = jnp.asarray(_tone(audio_sec))
+    best_feat_rate = 0.0
+    for backend in ("fft", "matmul", "pallas"):
+        cfg = FrontendConfig(backend=backend)
+
+        @jax.jit
+        def fn(y, c=cfg):
+            def body(i, acc):
+                m = log_mel_energies(y * (1.0 + 1e-7 * i), c)
+                return acc + jnp.sum(m)
+
+            return jax.lax.fori_loop(0, reps_on_device, body, 0.0)
+
+        float(fn(wav))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(wav))
+            times.append(time.perf_counter() - t0)
+        dt = min(times) / reps_on_device
+        rate = audio_sec / dt
+        log(f"frontend[{backend}]: {dt*1e3:.2f} ms / {audio_sec:.0f}s audio "
+            f"-> {rate:,.0f} audio-sec/sec")
+        best_feat_rate = max(best_feat_rate, rate)
+
+    # ---- train-step throughput: audio-seconds trained per second ---------
+    # v1 model (conv 128) on balanced windows, full jitted epoch scan.
+    exp = get_preset("timepooled-v1")
+    frames = 120000
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((frames, 40)).astype(np.float32)
+    events = [(t, t + 0.3) for t in np.arange(2.0, frames / FRAMES_PER_SEC - 3, 2.0)]
+    lab = rasterize.rasterize_events(events, frames, 44100, 1024)
+    fold = {"train_x": mel, "train_y": lab, "val_x": mel[:20000], "val_y": lab[:20000]}
+    train_sampler, val_sampler = make_samplers(exp, fold)
+    trainer = Trainer(get_model(exp.model), exp.train, train_sampler, val_sampler)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    n_steps = 200
+
+    def run_epoch(state, seed):
+        state, scores = trainer.train_epoch(state, jax.random.PRNGKey(seed), n_steps)
+        # force full materialization: scores depend on every step, the param
+        # fetch on the final optimizer update
+        _ = float(scores["loss"]) + float(jnp.sum(state.params["head"][0]["b"]))
+        return state
+
+    state = run_epoch(state, 1)  # compile + warm
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        state = run_epoch(state, 2 + r)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    audio_per_epoch = n_steps * BATCH * WINDOW / FRAMES_PER_SEC
+    train_rate = audio_per_epoch / dt
+    log(f"train: {n_steps} steps x {BATCH} windows in {dt*1e3:.1f} ms "
+        f"-> {train_rate:,.0f} audio-sec/sec")
+
+    pipeline_rate = 1.0 / (1.0 / best_feat_rate + 1.0 / train_rate)
+    return pipeline_rate, best_feat_rate, train_rate
+
+
+def bench_cpu_reference():
+    """The reference's stack: scipy/numpy log-mel + torch CRNN train step,
+    single process (as the reference runs on CPU), measured on short samples
+    and expressed in the same audio-sec/sec unit."""
+    import scipy.fft
+    import torch
+
+    # frontend: librosa-semantics numpy implementation on 10 s of audio
+    audio_sec = 10.0
+    y = _tone(audio_sec).astype(np.float64)
+    n_fft, hop = 2048, 1024
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    from sed_crnn_tpu.ops.mel import mel_filterbank
+
+    fb = mel_filterbank(44100, n_fft, 40, dtype=np.float64)
+    t0 = time.perf_counter()
+    ypad = np.pad(y, n_fft // 2, mode="reflect")
+    n_frames = 1 + (len(ypad) - n_fft) // hop
+    frames = np.lib.stride_tricks.sliding_window_view(ypad, n_fft)[::hop][:n_frames]
+    spec = np.abs(scipy.fft.rfft(frames * win, axis=1)) ** 2
+    _ = np.log(spec @ fb.T)
+    feat_dt = time.perf_counter() - t0
+    feat_rate = audio_sec / feat_dt
+    log(f"cpu frontend: {feat_dt*1e3:.1f} ms / {audio_sec:.0f}s -> {feat_rate:,.0f} audio-sec/sec")
+
+    # train step: v1-equivalent torch model, one fwd+bwd+Adam step, batch 16
+    torch.manual_seed(0)
+    conv = []
+    in_c = 1
+    for _ in range(3):
+        conv += [torch.nn.Conv2d(in_c, 128, 3, padding=1), torch.nn.BatchNorm2d(128),
+                 torch.nn.ReLU(), torch.nn.MaxPool2d((1, 2))]
+        in_c = 128
+    trunk = torch.nn.Sequential(*conv)
+    gru = torch.nn.GRU(128 * 40, 32, num_layers=2, batch_first=True, bidirectional=True)
+    fc = torch.nn.Linear(64, 1)
+    params = list(trunk.parameters()) + list(gru.parameters()) + list(fc.parameters())
+    opt = torch.optim.Adam(params, lr=1e-3)
+    lossf = torch.nn.BCEWithLogitsLoss()
+
+    b = 16
+    x = torch.randn(b, 1, 40, WINDOW)
+    yt = (torch.rand(b, 8, 1) > 0.5).float()
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        opt.zero_grad()
+        h = trunk(x).permute(0, 3, 1, 2).reshape(b, 8, -1)
+        out = fc(gru(h)[0])
+        loss = lossf(out, yt)
+        loss.backward()
+        opt.step()
+        times.append(time.perf_counter() - t0)
+    step_dt = min(times)
+    train_rate = b * WINDOW / FRAMES_PER_SEC / step_dt
+    log(f"cpu train: {step_dt*1e3:.1f} ms / {b} windows -> {train_rate:,.0f} audio-sec/sec")
+
+    return 1.0 / (1.0 / feat_rate + 1.0 / train_rate)
+
+
+def main():
+    tpu_rate, feat_rate, train_rate = bench_tpu()
+    cpu_rate = bench_cpu_reference()
+    result = {
+        "metric": "feature+train pipeline throughput (timepooled CRNN, 40-mel frontend)",
+        "value": round(tpu_rate / 3600.0, 3),
+        "unit": "audio-hours/sec",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "detail": {
+            "tpu_frontend_audio_sec_per_sec": round(feat_rate, 1),
+            "tpu_train_audio_sec_per_sec": round(train_rate, 1),
+            "cpu_reference_audio_sec_per_sec": round(cpu_rate, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Streaming inference CLI: long recordings -> frame probabilities -> event
+intervals, via chunked scan with carried GRU state (new capability; the
+reference has no inference entry point at all).
+
+  python -m sed_crnn_tpu.apps.infer --checkpoint best_fold1.npz \
+      --preset timepooled-v2 --wav recording.wav --stats-from fold1-cache-dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from sed_crnn_tpu.core import checkpoint as ckpt_io
+from sed_crnn_tpu.core.config import get_preset
+from sed_crnn_tpu.data import store
+from sed_crnn_tpu.data.rasterize import events_from_labels
+from sed_crnn_tpu.data.wavio import decode_audio
+from sed_crnn_tpu.models import get_model
+from sed_crnn_tpu.models.streaming import stream_probabilities
+from sed_crnn_tpu.ops import frontend
+
+
+def infer_file(
+    wav_path: str,
+    checkpoint: str,
+    preset: str = "timepooled-v2",
+    norm_stats=None,
+    threshold: float = 0.5,
+    carry_backward: bool = False,
+):
+    cfg = get_preset(preset)
+    model = get_model(cfg.model)
+    tree, meta = ckpt_io.load_checkpoint(checkpoint)
+    params, state = tree["params"], tree["model_state"]
+
+    pcm = decode_audio(wav_path, sr=cfg.frontend.sample_rate, mono=True)
+    mel = frontend.extract(pcm, cfg.frontend)
+    if norm_stats is not None:
+        mean, scale = norm_stats
+        mel = (mel - mean) / scale
+
+    probs = stream_probabilities(model, params, state, mel, carry_backward)
+    pool = cfg.model.seq_len_in // cfg.model.seq_len_out
+    out_hop = cfg.frontend.hop_length * pool  # samples per output frame
+    events = events_from_labels(
+        probs, cfg.frontend.sample_rate, out_hop, threshold
+    )
+    return probs, events, meta
+
+
+def stats_from_fold(cache_dir: str, fold_id: int, channel_tag: str = "mon"):
+    """Recover normalization statistics from a fold's (already standardized)
+    companion: refit on the raw per-video features if present, else None."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(cache_dir, f"*_{channel_tag}.npz")))
+    if not files:
+        return None
+    import jax.numpy as jnp
+
+    xs = [store.load_video_features(f)[0] for f in files]
+    stats = frontend.fit_norm_stats(jnp.asarray(np.concatenate(xs, axis=0)))
+    return np.asarray(stats.mean), np.asarray(stats.scale)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--wav", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--preset", default="timepooled-v2")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--stats-from", help="cache dir with per-video npz for norm stats")
+    p.add_argument("--fold", type=int, default=1)
+    p.add_argument("--carry-backward", action="store_true")
+    p.add_argument("--out", help="write events as JSON here (default stdout)")
+    args = p.parse_args(argv)
+
+    stats = stats_from_fold(args.stats_from, args.fold) if args.stats_from else None
+    probs, events, meta = infer_file(
+        args.wav, args.checkpoint, args.preset, stats, args.threshold,
+        args.carry_backward,
+    )
+    payload = {
+        "wav": args.wav,
+        "checkpoint_epoch": meta.get("epoch"),
+        "n_output_frames": int(probs.shape[0]),
+        "events": [
+            {"start_s": round(s, 3), "end_s": round(e, 3), "class": c}
+            for s, e, c in events
+        ],
+    }
+    text = json.dumps(payload, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"wrote {args.out} ({len(events)} events)")
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()

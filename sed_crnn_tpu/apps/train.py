@@ -1,0 +1,116 @@
+"""Training CLI — the reference's two trainer entry points unified.
+
+  python -m sed_crnn_tpu.apps.train --preset timepooled-v2 --cache-dir DIR
+  python -m sed_crnn_tpu.apps.train --preset sednet-dcase --cache-dir DIR --channel-tag mon
+  python -m sed_crnn_tpu.apps.train --preset timepooled-v1 --synthetic  # smoke run
+
+Replaces `python sed.py` / `python train_lightning.py` (edit-the-source
+configuration) with flags; artifacts land under --art-dir/<timestamp>/fold<k>.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import os
+
+import numpy as np
+
+from sed_crnn_tpu.core.config import get_preset
+from sed_crnn_tpu.data import store
+from sed_crnn_tpu.train import loop as train_loop
+
+
+def synthetic_folds(k: int = 2, frames: int = 8000, seed: int = 0):
+    from sed_crnn_tpu.data.rasterize import rasterize_events
+
+    rng = np.random.default_rng(seed)
+
+    def split(n):
+        mel = rng.standard_normal((n, 40)).astype(np.float32)
+        events, t = [], 2.0
+        while t * 43 < n - 100:
+            events.append((t, t + rng.uniform(0.2, 0.5)))
+            t += rng.uniform(2.0, 4.0)
+        lab = rasterize_events(events, n, 44100, 1024)
+        mel[lab[:, 0] == 1, 8:16] += 4.0
+        return mel, lab
+
+    folds = {}
+    for f in range(1, k + 1):
+        tr = split(frames)
+        va = split(frames // 2)
+        folds[f] = {
+            "train_x": tr[0], "train_y": tr[1], "val_x": va[0], "val_y": va[1]
+        }
+    return folds
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="timepooled-v1",
+                   help="timepooled-v1 | timepooled-v2 | sednet-dcase[-binaural]")
+    p.add_argument("--cache-dir", help="feature cache dir with mbe_*_fold*.npz")
+    p.add_argument("--channel-tag", default="mon", help="mon | bin")
+    p.add_argument("--art-dir", default="train_artifacts")
+    p.add_argument("--folds", type=int, nargs="+", default=[1, 2, 3, 4])
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--plot-every", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume each fold from its last checkpoint if present")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated data (smoke/benchmark run)")
+    args = p.parse_args(argv)
+
+    cfg = get_preset(args.preset)
+    overrides = {}
+    if args.max_epochs is not None:
+        overrides["max_epochs"] = args.max_epochs
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.plot_every is not None:
+        overrides["plot_every"] = args.plot_every
+    if overrides:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
+
+    if args.synthetic:
+        folds = {f: fd for f, fd in synthetic_folds(max(args.folds)).items()
+                 if f in args.folds}
+    else:
+        if not args.cache_dir:
+            p.error("--cache-dir required unless --synthetic")
+        folds = store.load_all_folds(args.cache_dir, args.folds, args.channel_tag)
+
+    art_root = os.path.join(
+        args.art_dir, f"{datetime.datetime.now():%Y%m%d_%H%M%S}"
+    )
+    os.makedirs(art_root, exist_ok=True)
+    print(f"ARTIFACTS -> {art_root}")
+
+    if args.resume:
+        results = []
+        for fold_id, fold_data in sorted(folds.items()):
+            fold_dir = os.path.join(art_root, f"fold{fold_id}")
+            last = os.path.join(fold_dir, f"last_fold{fold_id}.npz")
+            results.append(
+                train_loop.run_fold(
+                    cfg, fold_data, fold_id, fold_dir,
+                    resume_from=last if os.path.exists(last) else None,
+                )
+            )
+        mean_er = float(np.mean([r.best_er for r in results]))
+        print(f"average ER across folds: {mean_er:.3f}")
+    else:
+        train_loop.run_experiment(cfg, folds, art_root)
+
+
+if __name__ == "__main__":
+    main()

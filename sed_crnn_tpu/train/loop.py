@@ -181,6 +181,8 @@ def run_fold(
     seed: Optional[int] = None,
     resume_from: Optional[str] = None,
     verbose: bool = True,
+    debug: bool = False,
+    trainer_factory=None,
 ) -> FoldResult:
     """Train one fold to early stop; returns the best 1-sec segment ER.
 
@@ -194,7 +196,8 @@ def run_fold(
     tcfg = cfg.train
     model = get_model(cfg.model)
     train_sampler, val_sampler = make_samplers(cfg, fold_data)
-    trainer = Trainer(model, tcfg, train_sampler, val_sampler)
+    make_trainer = trainer_factory or Trainer
+    trainer = make_trainer(model, tcfg, train_sampler, val_sampler)
 
     seed = tcfg.seed if seed is None else seed
     key = jax.random.PRNGKey(seed + fold_id)
@@ -249,6 +252,12 @@ def run_fold(
         tr = {k: float(v) for k, v in tr_scores.items()}
         val = {k: float(v) for k, v in val_scores.items()}
         epochs_run = epoch
+        if debug:
+            from sed_crnn_tpu.utils.debug import assert_tree_finite, guard_scores
+
+            guard_scores(tr, epoch, fold_id)
+            guard_scores(val, epoch, fold_id)
+            assert_tree_finite(state.params, f"fold {fold_id} epoch {epoch} params")
 
         for tr_key, val_key, src in _TRACK_KEYS:
             history[tr_key].append(tr[src])
@@ -276,12 +285,16 @@ def run_fold(
                 f"train_f1={tr['f1_overall_1sec']:.3f} val_f1={val['f1_overall_1sec']:.3f} | "
                 f"val_ER={val_er:.3f}"
             )
+        # BASELINE throughput unit: windows trained per wall-second, as
+        # audio-hours/sec (43 frames ~ 1 s of audio)
+        audio_sec = n_train_steps * tcfg.batch_size * cfg.model.seq_len_in / 43.066
         artifacts.append_jsonl(
             jsonl_path,
             {
                 "fold": fold_id,
                 "epoch": epoch,
                 "epoch_sec": round(dt, 3),
+                "audio_hours_per_sec": round(audio_sec / 3600.0 / dt, 4),
                 "train": tr,
                 "val": val,
                 "lr_scale": float(state.lr_scale),

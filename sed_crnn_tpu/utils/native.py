@@ -1,0 +1,106 @@
+"""ctypes bindings for the native C++ host frontend (`native/logmel.cpp`).
+
+Builds the shared library on first use with g++ (cached under
+``native/build/``; no pybind11 in this image, hence the C ABI + ctypes).
+Used as (a) a fast host-side featurizer when no accelerator is present —
+the role librosa's C internals play for the reference — and (b) an
+independent parity oracle for the device kernels."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "logmel.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_BUILD_DIR, "liblogmel.so")
+
+
+def native_available() -> bool:
+    return os.path.exists(_LIB) or (shutil.which("g++") is not None and os.path.exists(_SRC))
+
+
+def build_library(force: bool = False) -> str:
+    if os.path.exists(_LIB) and not force:
+        src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0
+        if os.path.getmtime(_LIB) >= src_mtime:
+            return _LIB
+    if shutil.which("g++") is None:
+        raise RuntimeError("g++ not available; cannot build native logmel library")
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _LIB,
+    ]
+    subprocess.check_call(cmd)
+    return _LIB
+
+
+@lru_cache(maxsize=1)
+def _lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(build_library())
+    lib.logmel_num_frames.restype = ctypes.c_int64
+    lib.logmel_num_frames.argtypes = [ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.logmel_extract.restype = ctypes.c_int64
+    lib.logmel_extract.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.wav_read_mono.restype = ctypes.c_int64
+    lib.wav_read_mono.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.logmel_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    return lib
+
+
+def log_mel_native(
+    pcm: np.ndarray,
+    sr: int = 44100,
+    n_fft: int = 2048,
+    hop: int = 1024,
+    n_mels: int = 40,
+    center: bool = True,
+    log_floor: Optional[float] = None,
+) -> np.ndarray:
+    """(n_samples,) float32 -> (n_frames, n_mels) float32 log-mel energies."""
+    lib = _lib()
+    pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+    n_frames = lib.logmel_num_frames(len(pcm), n_fft, hop, int(center))
+    out = np.empty((max(n_frames, 0), n_mels), dtype=np.float32)
+    if n_frames <= 0:
+        return out
+    written = lib.logmel_extract(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pcm), sr, n_fft, hop, n_mels, int(center),
+        -1.0 if log_floor is None else float(log_floor),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if written < 0:
+        raise ValueError(
+            f"native logmel rejected arguments (n_fft={n_fft} must be a power of two)"
+        )
+    return out[:written]
+
+
+def wav_read_mono_native(path: str) -> Tuple[np.ndarray, int]:
+    lib = _lib()
+    buf = ctypes.POINTER(ctypes.c_float)()
+    sr = ctypes.c_int(0)
+    n = lib.wav_read_mono(path.encode(), ctypes.byref(buf), ctypes.byref(sr))
+    if n < 0:
+        raise ValueError(f"native wav reader failed on {path}")
+    try:
+        out = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+    finally:
+        lib.logmel_free(buf)
+    return out, sr.value

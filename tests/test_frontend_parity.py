@@ -69,6 +69,23 @@ def test_log_mel_parity(rng, backend):
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+@pytest.mark.parametrize("mode,atol", [("exact", 2e-4), ("bf16x3", 5e-4)])
+def test_pallas_fused_log_mel_parity(rng, mode, atol):
+    """The fused Pallas kernel (interpreted on CPU) vs the oracle, in both
+    precision modes: exact f32 and the hi/lo-split bf16x3 fast path."""
+    from sed_crnn_tpu.ops.pallas.fused_logmel import fused_log_mel
+
+    import jax
+
+    y = _tone_mix(rng, 44100)
+    got = np.asarray(
+        jax.jit(lambda w: fused_log_mel(w, FrontendConfig(), mode))(jnp.asarray(y))
+    )
+    ref = oracle_log_mel(y)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=atol)
+
+
 def test_log_mel_framing_vs_gather_path(rng):
     # hop that does not divide n_fft exercises the gather fallback
     y = _tone_mix(rng, 20000)

@@ -1,0 +1,63 @@
+"""Native C++ frontend: builds with g++ at test time, parity vs the scipy
+oracle and the native WAV reader vs the python one."""
+
+import numpy as np
+import pytest
+
+from sed_crnn_tpu.data import wavio
+from sed_crnn_tpu.utils import native
+
+from tests.oracle.librosa_ref import oracle_log_mel
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="g++ and sources unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def built():
+    return native.build_library()
+
+
+def test_native_logmel_matches_oracle(built, rng):
+    t = np.arange(44100) / 44100.0
+    y = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 3517 * t)
+        + 0.05 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    got = native.log_mel_native(y)
+    ref = oracle_log_mel(y)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_native_logmel_floor_and_silence(built):
+    y = np.zeros(8192, np.float32)
+    out = native.log_mel_native(y, log_floor=1e-30)
+    assert np.isfinite(out).all()
+    out_parity = native.log_mel_native(y)
+    assert np.isneginf(out_parity).all()
+
+
+def test_native_rejects_non_power_of_two(built):
+    with pytest.raises(ValueError, match="power of two"):
+        native.log_mel_native(np.zeros(4096, np.float32), n_fft=1000)
+
+
+def test_native_wav_reader_matches_python(built, tmp_path, rng):
+    x = rng.uniform(-0.5, 0.5, (5000, 2)).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    wavio.write_wav(p, x, 44100)
+    got, sr = native.wav_read_mono_native(p)
+    ref, sr_ref = wavio.read_wav(p, mono=True)
+    assert sr == sr_ref == 44100
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_native_wav_reader_rejects_garbage(built, tmp_path):
+    p = str(tmp_path / "bad.wav")
+    with open(p, "wb") as f:
+        f.write(b"definitely not RIFF")
+    with pytest.raises(ValueError):
+        native.wav_read_mono_native(p)
