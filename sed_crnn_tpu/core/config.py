@@ -180,6 +180,11 @@ def _timepooled_v2() -> ExperimentConfig:
             gru_hidden=(16, 8),
             head_dims=(8, 1),
             head_activation="relu",
+            # the reference's Lightning stack opts into bf16 matmuls via
+            # torch.set_float32_matmul_precision('medium')
+            # (`train_lightning.py:15`); the bfloat16 conv trunk is the TPU
+            # equivalent (GRU recurrence stays f32 regardless)
+            compute_dtype="bfloat16",
         ),
         train=TrainConfig(
             loss="focal",

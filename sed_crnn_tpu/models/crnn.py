@@ -172,7 +172,10 @@ class CRNN:
         else:
             x = jnp.transpose(x, (0, 1, 3, 2))  # (B,T,F,C) -> (B,T,C,F)
         B, T = x.shape[0], x.shape[1]
-        x = x.reshape(B, T, -1)
+        # The recurrence always runs in f32: its FLOPs are negligible next to
+        # the conv trunk (which may be bfloat16) and carried-state precision
+        # compounds over timesteps.
+        x = x.reshape(B, T, -1).astype(jnp.float32)
 
         new_carry = []
         for i, gru in enumerate(self._grus()):

@@ -206,11 +206,14 @@ def test_feature_train_infer_pipeline(tmp_path, rng):
 
 
 def test_train_app_synthetic(tmp_path):
+    # v2 preset: the conv-128 v1 model is ~60x more conv FLOPs — far too slow
+    # for the single-core CPU test runner (v1 training is covered on TPU and
+    # by the torch-parity tests)
     from sed_crnn_tpu.apps import train as train_app
 
     train_app.main(
         [
-            "--preset", "timepooled-v1", "--synthetic", "--folds", "1",
+            "--preset", "timepooled-v2", "--synthetic", "--folds", "1",
             "--art-dir", str(tmp_path), "--max-epochs", "1",
             "--batch-size", "32", "--plot-every", "0",
         ]

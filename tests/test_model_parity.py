@@ -141,11 +141,16 @@ def test_v1_parity(rng):
 
 
 def test_v2_parity(rng):
+    import dataclasses
+
     torch.manual_seed(1)
     tm = TorchV2()
     _prime_bn_stats(tm, rng)
 
-    model = get_model("timepooled-v2")
+    # pin f32 compute for exact torch comparison (the preset defaults to a
+    # bfloat16 trunk, mirroring the reference's 'medium' matmul precision)
+    cfg = get_preset("timepooled-v2").model
+    model = get_model(dataclasses.replace(cfg, compute_dtype="float32"))
     params, state = _transplant(tm, [(tm.gru1, 0), (tm.gru2, 0)])
     params["head"] = _head_params([tm.d1, tm.d2])
 
