@@ -1,0 +1,106 @@
+"""Full-split jitted evaluation + threshold sweep (BASELINE config 4).
+
+Unlike training-time validation (which mirrors the reference's balanced
+*resampling* of the val split), this evaluates the model over the ENTIRE
+split, sequentially windowed with `split_in_seqs` semantics (reference
+`utils.py:28-41`: truncate to a window multiple, no overlap), then sweeps
+binarization thresholds on-device and reports segment ER/F1 per threshold
+plus the best-ER operating point. One device program end to end: batched
+forward via `lax.map`, vmapped sweep, scalar metrics out.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_crnn_tpu.core.config import ExperimentConfig
+from sed_crnn_tpu.models.crnn import CRNN
+from sed_crnn_tpu.nn.layers import Ctx
+from sed_crnn_tpu.ops import metrics as metrics_ops
+
+DEFAULT_THRESHOLDS = np.round(np.arange(0.05, 0.96, 0.05), 3).astype(np.float32)
+
+
+def window_split(
+    x: np.ndarray, y: np.ndarray, seq_len_in: int, seq_len_out: int
+):
+    """Full-split sequential windows: (frames, F) -> (N, T, F) and pooled
+    labels (N, T_out, C), truncating the ragged tail like the reference."""
+    n = (x.shape[0] // seq_len_in) * seq_len_in
+    xw = x[:n].reshape(-1, seq_len_in, x.shape[1])
+    pool = seq_len_in // seq_len_out
+    yw = y[:n].reshape(-1, seq_len_out, pool, y.shape[1]).max(axis=2)
+    return xw, yw
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _forward_all(model: CRNN, params, state, xw, n_valid, batch_size: int):
+    """Probabilities for every window, batched via lax.map (padded tail
+    windows are forwarded but masked out by the caller through n_valid)."""
+    n = xw.shape[0]
+    n_batches = n // batch_size
+    xb = xw[: n_batches * batch_size].reshape(n_batches, batch_size, *xw.shape[1:])
+
+    def fwd(batch):
+        logits, _, _ = model.apply(params, state, batch, Ctx(train=False))
+        return jax.nn.sigmoid(logits)
+
+    probs = jax.lax.map(fwd, xb)
+    return probs.reshape(n_batches * batch_size, *probs.shape[2:])
+
+
+def evaluate_split(
+    model: CRNN,
+    params,
+    state,
+    x: np.ndarray,
+    y: np.ndarray,
+    cfg: ExperimentConfig,
+    thresholds: Optional[np.ndarray] = None,
+    batch_size: int = 256,
+) -> Dict:
+    """Evaluate one (features, labels) split end to end. Returns metrics at
+    the configured threshold plus the full sweep and best-ER threshold."""
+    m = cfg.model
+    t = cfg.train
+    thresholds = DEFAULT_THRESHOLDS if thresholds is None else np.asarray(thresholds)
+
+    xw, yw = window_split(x, y, m.seq_len_in, m.seq_len_out)
+    n = xw.shape[0]
+    if n == 0:
+        raise ValueError(f"split has {x.shape[0]} frames < one {m.seq_len_in}-frame window")
+    pad = (-n) % batch_size
+    if pad:
+        xw = np.concatenate([xw, np.zeros((pad, *xw.shape[1:]), xw.dtype)], axis=0)
+
+    probs = _forward_all(model, params, state, jnp.asarray(xw), n, batch_size)
+    probs = probs[:n]
+    flat_p = probs.reshape(-1, probs.shape[-1])
+    flat_y = jnp.asarray(yw.reshape(-1, yw.shape[-1]))
+
+    base = metrics_ops.all_scores(
+        (flat_p > t.threshold).astype(jnp.float32), flat_y, t.frames_in_1_sec
+    )
+    sweep = metrics_ops.best_threshold(flat_p, flat_y, thresholds, t.frames_in_1_sec)
+
+    return {
+        "n_windows": n,
+        "threshold": float(t.threshold),
+        "er_1s": float(base["er_overall_1sec"]),
+        "f1_1s": float(base["f1_overall_1sec"]),
+        "er_frame": float(base["er_frame"]),
+        "f1_frame": float(base["f1_frame"]),
+        "best_threshold": float(sweep["threshold"]),
+        "best_er_1s": float(sweep["er"]),
+        "best_f1_1s": float(sweep["f1"]),
+        "sweep": {
+            "thresholds": [float(v) for v in thresholds],
+            "er_1s": [float(v) for v in sweep["all_er"]],
+            "f1_1s": [float(v) for v in sweep["all_f1"]],
+        },
+    }

@@ -1,0 +1,131 @@
+"""Full-split evaluation + threshold sweep, and the binaural DCASE path
+end to end (multichannel features -> channel split -> SEDnet forward)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from sed_crnn_tpu.core.config import get_preset
+from sed_crnn_tpu.data import seqs
+from sed_crnn_tpu.data.rasterize import rasterize_events
+from sed_crnn_tpu.models import get_model
+from sed_crnn_tpu.nn.layers import Ctx
+from sed_crnn_tpu.train import evaluate as eval_mod
+
+from tests.oracle.metrics_ref import ref_er_1sec, ref_f1_1sec
+
+
+def _split(rng, frames=3000):
+    mel = rng.standard_normal((frames, 40)).astype(np.float32)
+    events = [(t, t + 0.3) for t in np.arange(2.0, frames / 43.07 - 2, 3.0)]
+    lab = rasterize_events(events, frames, 44100, 1024)
+    mel[lab[:, 0] == 1, 8:16] += 4.0
+    return mel, lab
+
+
+def test_window_split_semantics(rng):
+    x, y = _split(rng, 1000)
+    xw, yw = eval_mod.window_split(x, y, 64, 8)
+    assert xw.shape == (15, 64, 40)       # 1000 // 64, ragged tail dropped
+    assert yw.shape == (15, 8, 1)
+    np.testing.assert_array_equal(xw[0], x[:64])
+    np.testing.assert_array_equal(
+        yw[0], y[:64].reshape(8, 8, 1).max(axis=1)
+    )
+
+
+def test_evaluate_split_matches_oracle(rng):
+    """Metrics from the jitted full-split eval must equal the numpy oracle
+    computed on the same windows/probabilities path."""
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x, y = _split(rng)
+
+    report = eval_mod.evaluate_split(
+        model, params, state, x, y, cfg, thresholds=np.asarray([0.3, 0.5, 0.7], np.float32),
+        batch_size=16,
+    )
+    assert report["n_windows"] == x.shape[0] // 64
+
+    # recompute by hand through the public model API
+    xw, yw = eval_mod.window_split(x, y, 64, 8)
+    import jax.numpy as jnp
+
+    logits, _, _ = model.apply(params, state, jnp.asarray(xw), Ctx(train=False))
+    probs = np.asarray(jax.nn.sigmoid(logits)).reshape(-1, 1)
+    flat_y = yw.reshape(-1, 1)
+    o = (probs > 0.5).astype(np.float32)
+    np.testing.assert_allclose(report["er_1s"], ref_er_1sec(o, flat_y, 5), atol=1e-5)
+    np.testing.assert_allclose(report["f1_1s"], ref_f1_1sec(o, flat_y, 5), atol=1e-5)
+
+    # sweep consistency: best threshold attains the min ER of the sweep
+    assert report["best_er_1s"] == pytest.approx(min(report["sweep"]["er_1s"]), abs=1e-6)
+    i = report["sweep"]["thresholds"].index(report["best_threshold"])
+    assert report["sweep"]["er_1s"][i] == pytest.approx(report["best_er_1s"], abs=1e-6)
+
+
+def test_evaluate_rejects_short_split(rng):
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    params, state = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="window"):
+        eval_mod.evaluate_split(
+            model, params, state,
+            np.zeros((10, 40), np.float32), np.zeros((10, 1), np.float32), cfg,
+        )
+
+
+def test_evaluate_app_cli(tmp_path, rng):
+    from sed_crnn_tpu.apps import evaluate as eval_app
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    params, state = model.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "ck.npz")
+    ckpt_io.save_checkpoint(ckpt, {"params": params, "model_state": state}, {"epoch": 3})
+
+    x, y = _split(rng, 2000)
+    np.savez(str(tmp_path / "mbe_mon_fold1.npz"), x, y, x[:1000], y[:1000])
+
+    out = str(tmp_path / "report.json")
+    eval_app.main(
+        ["--checkpoint", ckpt, "--cache-dir", str(tmp_path), "--fold", "1",
+         "--batch-size", "8", "--out", out]
+    )
+    report = json.loads(open(out).read())
+    assert report["checkpoint_epoch"] == 3
+    assert 0.0 <= report["best_threshold"] <= 1.0
+    assert len(report["sweep"]["er_1s"]) == len(eval_mod.DEFAULT_THRESHOLDS)
+
+
+def test_binaural_dcase_path_end_to_end(rng):
+    """Binaural features (per-channel mel stacked on the feature axis, the
+    reference's fold-pack layout) -> split_multi_channels -> binaural SEDnet."""
+    n_frames, n_mels, nch = 512, 40, 2
+    feats = rng.standard_normal((n_frames, n_mels * nch)).astype(np.float32)
+    labels = (rng.random((n_frames, 6)) < 0.05).astype(np.float32)
+
+    xs = seqs.split_in_seqs(feats, 256)              # (2, 256, 80)
+    xs = seqs.split_multi_channels(xs, nch)          # (2, 2, 256, 40)
+    ys = seqs.split_in_seqs(labels, 256)             # (2, 256, 6)
+
+    model = get_model("sednet-dcase-binaural")
+    params, state = model.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    logits, _, _ = model.apply(params, state, jnp.asarray(xs), Ctx(train=False))
+    assert logits.shape == (2, 256, 6)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    from sed_crnn_tpu.ops import metrics as metrics_ops
+
+    probs = np.asarray(jax.nn.sigmoid(logits))
+    scores = metrics_ops.compute_scores(
+        jnp.asarray((probs > 0.5).reshape(-1, 6)), jnp.asarray(ys.reshape(-1, 6)), 43
+    )
+    assert np.isfinite(float(scores["f1_overall_1sec"]))
