@@ -157,13 +157,16 @@ def main(argv=None):
     p.add_argument("--binaural", action="store_true")
     p.add_argument("--cache-dir", required=True)
     p.add_argument("--k-folds", type=int, default=4)
+    p.add_argument("--folds", type=int, nargs="+", default=[1, 2, 3, 4],
+                   help="DCASE fold ids to pack")
     p.add_argument("--backend", default="fft", choices=["fft", "matmul", "pallas"])
     args = p.parse_args(argv)
 
     fcfg = FrontendConfig(backend=args.backend)
     if args.dcase_root:
         extract_dcase(
-            args.dcase_root, args.cache_dir, args.scene, binaural=args.binaural, fcfg=fcfg
+            args.dcase_root, args.cache_dir, args.scene,
+            folds=tuple(args.folds), binaural=args.binaural, fcfg=fcfg,
         )
     elif args.media_dir and args.hits_csv:
         extract_decorte(

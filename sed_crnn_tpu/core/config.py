@@ -127,6 +127,9 @@ class TrainConfig:
     k_folds: int = 4
     spec_augment: bool = False      # v2 trains with SpecAugment masking
     plot_every: int = 1             # epochs between artifact plots (0 = off)
+    # "balanced": pos/neg window resampling (the hit-detection pipelines);
+    # "sequence": full-sweep aligned sequences (the legacy DCASE pipeline).
+    sampler: str = "balanced"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,6 +228,7 @@ def _sednet_dcase(in_channels: int = 1, n_classes: int = 6) -> ExperimentConfig:
             batch_size=128,
             frames_in_1_sec=43,      # int(44100 / 1024)
             checkpoint_policy="best",
+            sampler="sequence",
         ),
     )
 

@@ -78,7 +78,12 @@ def load_event_catalog(
 
     assigns_by_video: Dict[str, List[Dict[str, str]]] = {}
     if assignments_csv and os.path.exists(assignments_csv):
-        rows = _read_csv(assignments_csv)
+        if assignments_csv.lower().endswith((".xlsx", ".xlsm")):
+            from sed_crnn_tpu.data.xlsx import read_xlsx_rows
+
+            rows = read_xlsx_rows(assignments_csv)
+        else:
+            rows = _read_csv(assignments_csv)
         rows.sort(key=lambda r: (r["video"], float(r["timestamp"])))
         for row in rows:
             assigns_by_video.setdefault(row["video"], []).append(row)

@@ -136,6 +136,66 @@ class BalancedWindowSampler:
         return self is other
 
 
+@dataclasses.dataclass
+class SequenceWindowSampler:
+    """Full-sweep sampler for the legacy DCASE pipeline: the split is cut
+    into aligned non-overlapping ``seq_len_in``-frame sequences
+    (`utils.py:28-41` `split_in_seqs` semantics) and batches draw uniformly
+    from them on device. An epoch visits ``ceil(N / batch)`` batches — iid
+    uniform draws rather than an explicit permutation (documented divergence
+    from shuffled-sweep epochs; identical in expectation)."""
+
+    mel: jnp.ndarray
+    lab: jnp.ndarray
+    seq_len_in: int = 256
+    seq_len_out: int = 256
+    augment: bool = False
+    time_mask_w: int = 8
+    freq_mask_w: int = 8
+    masks_per_example: int = 2
+
+    n_windows: int = dataclasses.field(init=False)
+
+    def __post_init__(self):
+        frames = int(np.asarray(self.lab).shape[0])
+        self.n_windows = frames // self.seq_len_in
+        if self.n_windows < 1:
+            raise ValueError(
+                f"split has {frames} frames < one {self.seq_len_in}-frame sequence"
+            )
+        self.mel = jnp.asarray(self.mel, jnp.float32)
+        self.lab = jnp.asarray(self.lab, jnp.float32)
+
+    @property
+    def epoch_examples(self) -> int:
+        return self.n_windows
+
+    def steps_per_epoch(self, batch_size: int, drop_last: bool = False) -> int:
+        n = self.n_windows
+        return max(1, n // batch_size if drop_last else -(-n // batch_size))
+
+    def sample_batch(self, key: jax.Array, batch_size: int):
+        ks, ka = jax.random.split(key)
+        idx = jax.random.randint(ks, (batch_size,), 0, self.n_windows)
+        starts = idx * self.seq_len_in
+        window_idx = starts[:, None] + jnp.arange(self.seq_len_in)[None, :]
+        x = self.mel[window_idx]
+        y_win = self.lab[window_idx]
+        pool = self.seq_len_in // self.seq_len_out
+        y = y_win.reshape(batch_size, self.seq_len_out, pool, -1).max(axis=2)
+        if self.augment:
+            x = spec_augment_batch(
+                ka, x, self.time_mask_w, self.freq_mask_w, self.masks_per_example
+            )
+        return x, y
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
 def spec_augment(
     key: jax.Array,
     x: jnp.ndarray,

@@ -54,14 +54,23 @@ class FoldResult:
 def make_samplers(cfg: ExperimentConfig, fold_data: Dict[str, np.ndarray]):
     m = cfg.model
     t = cfg.train
-    train_sampler = BalancedWindowSampler(
+    if t.sampler == "balanced":
+        sampler_cls = BalancedWindowSampler
+    elif t.sampler == "sequence":
+        from sed_crnn_tpu.data.sampler import SequenceWindowSampler
+
+        sampler_cls = SequenceWindowSampler
+    else:
+        raise ValueError(f"unknown sampler {t.sampler!r}")
+
+    train_sampler = sampler_cls(
         fold_data["train_x"],
         fold_data["train_y"],
         seq_len_in=m.seq_len_in,
         seq_len_out=m.seq_len_out,
         augment=t.spec_augment,
     )
-    val_sampler = BalancedWindowSampler(
+    val_sampler = sampler_cls(
         fold_data["val_x"],
         fold_data["val_y"],
         seq_len_in=m.seq_len_in,
