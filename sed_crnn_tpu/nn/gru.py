@@ -82,11 +82,10 @@ class GRU:
             h_new = (1.0 - z) * n + z * h
             return h_new, h_new
 
-        # Short recurrences (the 8-step time-pooled models) unroll fully so
-        # XLA schedules the tiny recurrent GEMMs without loop overhead;
-        # longer ones (SEDnet's 256 steps) unroll moderately.
-        unroll = T if T <= 16 else 8
-        h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse, unroll=unroll)
+        # Plain scan: unrolling was measured to give no speedup here (the
+        # epoch program is conv-bound) while its different op scheduling
+        # perturbs numerics across program variants (streaming vs windowed).
+        h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse)
         return jnp.swapaxes(ys, 0, 1), h_last             # (B, T, H)
 
 

@@ -107,8 +107,13 @@ def test_dcase_fold_list(tmp_path):
 def test_streaming_matches_windowed_without_carry(rng):
     """carry_backward=False + zeroed fwd carry per chunk would equal windowed
     inference; with fwd carry the outputs must still be close on iid data and
-    identical in shape."""
-    model = get_model("timepooled-v2")
+    identical in shape. f32 compute pinned: the comparison is between two
+    differently-compiled programs, which only agree exactly in f32."""
+    import dataclasses
+
+    model = get_model(
+        dataclasses.replace(get_preset("timepooled-v2").model, compute_dtype="float32")
+    )
     params, state = model.init(jax.random.PRNGKey(0))
     mel = rng.standard_normal((64 * 5 + 13, 40)).astype(np.float32)
 
@@ -127,7 +132,11 @@ def test_streaming_matches_windowed_without_carry(rng):
 def test_streaming_carry_propagates_context(rng):
     """With carried forward state, chunk 2 outputs differ from the no-context
     windowed forward (left context actually flows across the boundary)."""
-    model = get_model("timepooled-v2")
+    import dataclasses
+
+    model = get_model(
+        dataclasses.replace(get_preset("timepooled-v2").model, compute_dtype="float32")
+    )
     params, state = model.init(jax.random.PRNGKey(0))
     mel = rng.standard_normal((128, 40)).astype(np.float32)
     probs = stream_probabilities(model, params, state, mel)

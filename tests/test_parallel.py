@@ -37,7 +37,8 @@ def test_dp_gradient_equals_global_batch_gradient(rng):
 
     mesh = make_mesh(8)
     cfg = get_preset("timepooled-v2").model
-    model = get_model(dataclasses.replace(cfg, dropout=0.0))  # deterministic fwd
+    # deterministic f32 forward: comparing two differently-compiled programs
+    model = get_model(dataclasses.replace(cfg, dropout=0.0, compute_dtype="float32"))
     params, state = model.init(jax.random.PRNGKey(0))
     x = jnp.asarray(rng.standard_normal((32, 64, 40)).astype(np.float32))
     y = jnp.asarray((rng.random((32, 8, 1)) < 0.5).astype(np.float32))
