@@ -64,6 +64,8 @@ def main(argv=None):
                    help="resume each fold from its last checkpoint if present")
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated data (smoke/benchmark run)")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="train data-parallel over N devices (0 = single device)")
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset)
@@ -95,6 +97,14 @@ def main(argv=None):
     os.makedirs(art_root, exist_ok=True)
     print(f"ARTIFACTS -> {art_root}")
 
+    trainer_factory = None
+    if args.data_parallel:
+        from sed_crnn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+        trainer_factory = train_loop.data_parallel_factory(mesh)
+        print(f"data-parallel over {args.data_parallel} devices")
+
     if args.resume:
         results = []
         for fold_id, fold_data in sorted(folds.items()):
@@ -104,12 +114,13 @@ def main(argv=None):
                 train_loop.run_fold(
                     cfg, fold_data, fold_id, fold_dir,
                     resume_from=last if os.path.exists(last) else None,
+                    trainer_factory=trainer_factory,
                 )
             )
         mean_er = float(np.mean([r.best_er for r in results]))
         print(f"average ER across folds: {mean_er:.3f}")
     else:
-        train_loop.run_experiment(cfg, folds, art_root)
+        train_loop.run_experiment(cfg, folds, art_root, trainer_factory=trainer_factory)
 
 
 if __name__ == "__main__":

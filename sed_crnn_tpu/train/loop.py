@@ -182,6 +182,18 @@ _TRACK_KEYS = (
 )
 
 
+def data_parallel_factory(mesh):
+    """trainer_factory for `run_fold`/`run_experiment` that trains each fold
+    data-parallel over ``mesh`` (see `parallel/data_parallel.py`)."""
+
+    def factory(model, tcfg, train_sampler, val_sampler):
+        from sed_crnn_tpu.parallel.data_parallel import DataParallelTrainer
+
+        return DataParallelTrainer(model, tcfg, train_sampler, val_sampler, mesh)
+
+    return factory
+
+
 def run_fold(
     cfg: ExperimentConfig,
     fold_data: Dict[str, np.ndarray],
@@ -382,11 +394,15 @@ def run_experiment(
     folds: Dict[int, Dict[str, np.ndarray]],
     art_dir: str,
     verbose: bool = True,
+    trainer_factory=None,
 ) -> Dict[str, Any]:
     """K-fold driver (reference `sed.py:144-207`, `train_lightning.py:26-63`):
     trains every fold, reports per-fold best ER and the cross-fold mean."""
     results = [
-        run_fold(cfg, fold_data, fold_id, os.path.join(art_dir, f"fold{fold_id}"), verbose=verbose)
+        run_fold(
+            cfg, fold_data, fold_id, os.path.join(art_dir, f"fold{fold_id}"),
+            verbose=verbose, trainer_factory=trainer_factory,
+        )
         for fold_id, fold_data in sorted(folds.items())
     ]
     mean_er = float(np.mean([r.best_er for r in results]))
