@@ -13,6 +13,7 @@ Capability parity with the reference feature extractor:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -54,9 +55,34 @@ def _log_mel_jit(y, cfg):
     return log_mel_energies(y, cfg)
 
 
-def extract(y, cfg: FrontendConfig) -> np.ndarray:
-    """Host convenience wrapper: waveform (numpy) -> log-mel (numpy)."""
-    return np.asarray(_log_mel_jit(jnp.asarray(y, dtype=jnp.float32), cfg))
+@partial(jax.jit, static_argnums=(1,))
+def _log_mel_uncentered_jit(y, cfg):
+    return log_mel_energies(y, dataclasses.replace(cfg, center=False))
+
+
+def extract(y, cfg: FrontendConfig, bucket_seconds: float = 30.0) -> np.ndarray:
+    """Host convenience wrapper: waveform (numpy) -> log-mel (numpy).
+
+    Real corpora have a different length per recording; jitting per exact
+    length would recompile for every file. Instead the CENTER reflect padding
+    is applied on host (so tail-frame semantics stay bit-identical to
+    librosa's), the padded signal is zero-extended to a ``bucket_seconds``
+    multiple, and the device program (compiled once per bucket) runs
+    uncentered framing; the output is trimmed to the true frame count.
+    ``bucket_seconds=0`` disables bucketing (one compile per exact length).
+    """
+    y = np.asarray(y, dtype=np.float32)
+    if bucket_seconds <= 0:
+        return np.asarray(_log_mel_jit(jnp.asarray(y), cfg))
+
+    true_frames = 1 + (len(y) + (cfg.n_fft if cfg.center else 0) - cfg.n_fft) // cfg.hop_length
+    if cfg.center:
+        y = np.pad(y, cfg.n_fft // 2, mode="reflect")
+    bucket = max(int(bucket_seconds * cfg.sample_rate), cfg.n_fft)
+    padded_len = -(-len(y) // bucket) * bucket
+    y = np.pad(y, (0, padded_len - len(y)))
+    out = _log_mel_uncentered_jit(jnp.asarray(y), cfg)
+    return np.asarray(out[:true_frames])
 
 
 class NormStats(NamedTuple):

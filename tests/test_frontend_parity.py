@@ -111,6 +111,20 @@ def test_norm_stats_match_sklearn(rng):
     np.testing.assert_allclose(got, ref, atol=1e-3)
 
 
+def test_bucketed_extract_exact_vs_unbucketed(rng):
+    """Length bucketing (host reflect-pad + zero-extend + trim) must match
+    per-length compilation for awkward lengths, incl. the tail frames —
+    windows see identical samples; only GEMM tiling noise (~1e-6, shape-
+    dependent accumulation order) may differ."""
+    for n in [2048, 30000, 44100 + 977, 44100 * 2]:
+        y = _tone_mix(rng, n)
+        cfg = FrontendConfig()
+        bucketed = frontend.extract(y, cfg, bucket_seconds=1.0)
+        exact = frontend.extract(y, cfg, bucket_seconds=0)
+        assert bucketed.shape == exact.shape
+        np.testing.assert_allclose(bucketed, exact, atol=1e-5)
+
+
 def test_log_floor_guards_silence():
     y = np.zeros(8192, dtype=np.float32)
     cfg = FrontendConfig(log_floor=1e-30)
