@@ -88,7 +88,19 @@ def evaluate_split(
     )
     sweep = metrics_ops.best_threshold(flat_p, flat_y, thresholds, t.frames_in_1_sec)
 
+    # Event-based scores (host-side over decoded events; the windowed roll is
+    # time-ordered, with window-boundary truncation gaps ignored).
+    from sed_crnn_tpu.ops.event_metrics import event_scores_from_rolls
+
+    pool = m.seq_len_in // m.seq_len_out
+    frame_hop_s = cfg.frontend.hop_length * pool / cfg.frontend.sample_rate
+    ev = event_scores_from_rolls(
+        np.asarray(flat_p), np.asarray(flat_y), frame_hop_s, threshold=t.threshold
+    )
+
     return {
+        "er_event": ev["er_event"],
+        "f1_event": ev["f1_event"],
         "n_windows": n,
         "threshold": float(t.threshold),
         "er_1s": float(base["er_overall_1sec"]),
