@@ -21,3 +21,21 @@ from sed_crnn_tpu.core.config import (  # noqa: F401
     PRESETS,
     get_preset,
 )
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax-heavy modules on
+    # `import sed_crnn_tpu` for config-only uses).
+    if name == "get_model":
+        from sed_crnn_tpu.models import get_model
+
+        return get_model
+    if name == "run_experiment":
+        from sed_crnn_tpu.train.loop import run_experiment
+
+        return run_experiment
+    if name == "run_fold":
+        from sed_crnn_tpu.train.loop import run_fold
+
+        return run_fold
+    raise AttributeError(f"module 'sed_crnn_tpu' has no attribute {name!r}")
