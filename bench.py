@@ -35,6 +35,10 @@ def _tone(seconds, sr=44100, seed=0):
 
 def bench_tpu():
     import jax
+
+    from sed_crnn_tpu.core.runtime import use_fast_prng
+
+    use_fast_prng()
     import jax.numpy as jnp
 
     from sed_crnn_tpu.core.config import FrontendConfig, get_preset

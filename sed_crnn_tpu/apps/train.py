@@ -66,7 +66,14 @@ def main(argv=None):
                    help="train on generated data (smoke/benchmark run)")
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="train data-parallel over N devices (0 = single device)")
+    p.add_argument("--slow-prng", action="store_true",
+                   help="keep jax's default threefry PRNG (default: TPU-native rbg)")
     args = p.parse_args(argv)
+
+    if not args.slow_prng:
+        from sed_crnn_tpu.core.runtime import use_fast_prng
+
+        use_fast_prng()
 
     cfg = get_preset(args.preset)
     overrides = {}

@@ -23,7 +23,7 @@ def test_train_cli_data_parallel(tmp_path):
             "--preset", "timepooled-v2", "--synthetic", "--folds", "1",
             "--art-dir", str(tmp_path), "--max-epochs", "1",
             "--batch-size", "32", "--plot-every", "0",
-            "--data-parallel", "8",
+            "--data-parallel", "8", "--slow-prng",  # keep process-global PRNG impl untouched
         ]
     )
     runs = sorted(tmp_path.iterdir())

@@ -194,7 +194,7 @@ def test_feature_train_infer_pipeline(tmp_path, rng):
         [
             "--preset", "timepooled-v2", "--cache-dir", str(cache),
             "--art-dir", str(art), "--folds", "1", "--max-epochs", "2",
-            "--batch-size", "16", "--plot-every", "0",
+            "--batch-size", "16", "--plot-every", "0", "--slow-prng",
         ]
     )
     runs = sorted(art.iterdir())
@@ -225,6 +225,7 @@ def test_train_app_synthetic(tmp_path):
             "--preset", "timepooled-v2", "--synthetic", "--folds", "1",
             "--art-dir", str(tmp_path), "--max-epochs", "1",
             "--batch-size", "32", "--plot-every", "0",
+            "--slow-prng",  # keep the process-global PRNG impl untouched
         ]
     )
     runs = sorted(tmp_path.iterdir())
