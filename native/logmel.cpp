@@ -172,6 +172,7 @@ int64_t wav_read_mono(const char* path, float** out_samples, int* out_sr) {
     if (!std::strcmp(tag, "fmt ")) {
       std::vector<uint8_t> fmt(size);
       if (std::fread(fmt.data(), 1, size, f) != (size_t)size) break;
+      if (size & 1) std::fseek(f, 1, SEEK_CUR);  // RIFF chunks pad to even
       fmt_code = fmt[0] | fmt[1] << 8;
       n_ch = fmt[2] | fmt[3] << 8;
       sr = fmt[4] | fmt[5] << 8 | fmt[6] << 16 | fmt[7] << 24;
@@ -180,6 +181,7 @@ int64_t wav_read_mono(const char* path, float** out_samples, int* out_sr) {
     } else if (!std::strcmp(tag, "data")) {
       data.resize(size);
       if (std::fread(data.data(), 1, size, f) != (size_t)size) { std::fclose(f); return -1; }
+      if (size & 1) std::fseek(f, 1, SEEK_CUR);
     } else {
       std::fseek(f, size + (size & 1), SEEK_CUR);
     }

@@ -52,17 +52,26 @@ def infer_file(
     return probs, events, meta
 
 
-def stats_from_fold(cache_dir: str, fold_id: int, channel_tag: str = "mon"):
-    """Recover normalization statistics from a fold's (already standardized)
-    companion: refit on the raw per-video features if present, else None."""
+def stats_from_fold(
+    cache_dir: str, fold_id: int, channel_tag: str = "mon", k_folds: int = 4
+):
+    """Refit the fold's TRAIN-split normalization statistics from the raw
+    per-video features. Fold assignment follows the catalog's deterministic
+    rule (sorted names, round-robin, `data/catalog.py`): fold ``k``'s test
+    videos are those at sorted index ``i`` with ``i % k_folds == k - 1``;
+    every other video is train. Returns (mean, scale) or None if no
+    per-video caches exist."""
     import glob
 
     files = sorted(glob.glob(os.path.join(cache_dir, f"*_{channel_tag}.npz")))
     if not files:
         return None
+    train_files = [
+        f for i, f in enumerate(files) if i % k_folds != (fold_id - 1) % k_folds
+    ]
     import jax.numpy as jnp
 
-    xs = [store.load_video_features(f)[0] for f in files]
+    xs = [store.load_video_features(f)[0] for f in train_files]
     stats = frontend.fit_norm_stats(jnp.asarray(np.concatenate(xs, axis=0)))
     return np.asarray(stats.mean), np.asarray(stats.scale)
 

@@ -98,9 +98,21 @@ def main(argv=None):
             p.error("--cache-dir required unless --synthetic")
         folds = store.load_all_folds(args.cache_dir, args.folds, args.channel_tag)
 
-    art_root = os.path.join(
-        args.art_dir, f"{datetime.datetime.now():%Y%m%d_%H%M%S}"
-    )
+    # --resume continues the most recent run under --art-dir (a fresh
+    # timestamp directory would never contain the checkpoints to resume from)
+    art_root = None
+    if args.resume and os.path.isdir(args.art_dir):
+        runs = sorted(
+            d for d in os.listdir(args.art_dir)
+            if os.path.isdir(os.path.join(args.art_dir, d))
+        )
+        if runs:
+            art_root = os.path.join(args.art_dir, runs[-1])
+            print(f"resuming run {art_root}")
+    if art_root is None:
+        art_root = os.path.join(
+            args.art_dir, f"{datetime.datetime.now():%Y%m%d_%H%M%S}"
+        )
     os.makedirs(art_root, exist_ok=True)
     print(f"ARTIFACTS -> {art_root}")
 

@@ -37,12 +37,8 @@ def events_from_labels(
     labels: np.ndarray, sr: int, hop: int, threshold: float = 0.5
 ):
     """Inverse of rasterization: contiguous active runs -> (start_s, end_s,
-    class) tuples, for artifact/report generation."""
-    events = []
-    lab = np.asarray(labels) > threshold
-    for cls in range(lab.shape[1]):
-        col = lab[:, cls].astype(np.int8)
-        edges = np.flatnonzero(np.diff(np.concatenate([[0], col, [0]])))
-        for s, e in zip(edges[::2], edges[1::2]):
-            events.append((s * hop / sr, e * hop / sr, cls))
-    return events
+    class) tuples, for artifact/report generation. Thin wrapper over the
+    event decoder shared with the event-based metrics."""
+    from sed_crnn_tpu.ops.event_metrics import events_from_roll
+
+    return events_from_roll(labels, hop / sr, threshold)

@@ -83,9 +83,10 @@ class BalancedWindowSampler:
 
     # ---- device-side batch assembly ------------------------------------
     def sample_starts(self, key: jax.Array, batch_size: int) -> jnp.ndarray:
-        """Half positive-anchored, half clean-negative window starts."""
-        n_pos = batch_size // 2
-        n_neg = batch_size - n_pos
+        """Half positive-anchored, half clean-negative window starts
+        (interleaved; odd batch sizes get the extra positive)."""
+        n_pos = (batch_size + 1) // 2
+        n_neg = n_pos  # drawn equal, interleaved, then sliced to batch_size
         k1, k2, k3 = jax.random.split(key, 3)
 
         ci = jax.random.randint(k1, (n_pos,), 0, self.pos_frames.shape[0])

@@ -34,8 +34,10 @@ def read_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
             chunk_id, chunk_size = struct.unpack("<4sI", header)
             if chunk_id == b"fmt ":
                 fmt = f.read(chunk_size)
+                f.seek(chunk_size & 1, os.SEEK_CUR)  # RIFF chunks pad to even
             elif chunk_id == b"data":
                 data = f.read(chunk_size)
+                f.seek(chunk_size & 1, os.SEEK_CUR)
             else:
                 f.seek(chunk_size + (chunk_size & 1), os.SEEK_CUR)
             if fmt is not None and data is not None:
@@ -108,10 +110,16 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
-def decode_audio(path: str, sr: int = 44100, mono: bool = True) -> np.ndarray:
+def decode_audio(
+    path: str, sr: int = 44100, mono: bool = True, channels: Optional[int] = None
+) -> np.ndarray:
     """Decode any container to float32 PCM at ``sr``. WAV files at the target
     rate use the native reader; everything else pipes through ffmpeg
-    (f32le / -ac 1, the reference's `_ffmpeg_audio` contract) when present."""
+    (f32le / -ac 1, the reference's `_ffmpeg_audio` contract) when present.
+
+    ``mono=False`` returns (n, ch); the ffmpeg fallback emits interleaved
+    samples without channel metadata, so it requires ``channels`` to
+    de-interleave (the native WAV path reads the count from the header)."""
     if path.lower().endswith(".wav"):
         x, file_sr = read_wav(path, mono=mono)
         if file_sr == sr:
@@ -123,12 +131,19 @@ def decode_audio(path: str, sr: int = 44100, mono: bool = True) -> np.ndarray:
             )
     if not ffmpeg_available():
         raise RuntimeError(f"cannot decode {path}: ffmpeg not available")
+    if not mono and channels is None:
+        raise ValueError(
+            f"{path}: mono=False via the ffmpeg path needs explicit `channels` "
+            "to de-interleave the f32le stream"
+        )
     cmd = ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le"]
-    if mono:
-        cmd += ["-ac", "1"]
+    cmd += ["-ac", "1"] if mono else ["-ac", str(channels)]
     cmd += ["-ar", str(sr), "pipe:1"]
     raw = subprocess.check_output(cmd)
-    return np.frombuffer(raw, dtype=np.float32)
+    x = np.frombuffer(raw, dtype=np.float32)
+    if not mono:
+        x = x[: (len(x) // channels) * channels].reshape(-1, channels)
+    return x
 
 
 def probe_duration(path: str) -> Optional[float]:

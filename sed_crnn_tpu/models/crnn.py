@@ -123,11 +123,24 @@ class CRNN:
         return params, state
 
     def _to_nhwc(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Accepts (B, T, F) mono or (B, C, T, F) multichannel; returns NHWC
-        with W = pooled axis."""
+        """Accepts (B, T, F) mono, (B, T, F*nch) channel-stacked features
+        (the fold-pack layout for binaural data, reference `utils.py:15-25`
+        split_multi_channels contract: channel c occupies features
+        [c*F, (c+1)*F)), or (B, C, T, F) pre-split; returns NHWC with
+        W = pooled axis."""
         cfg = self.cfg
         if x.ndim == 3:
-            x = x[:, None, :, :]  # (B, 1, T, F)
+            if cfg.in_channels > 1:
+                b, t, fc = x.shape
+                if fc != cfg.in_channels * cfg.n_mels:
+                    raise ValueError(
+                        f"expected {cfg.in_channels * cfg.n_mels} stacked features "
+                        f"for {cfg.in_channels} channels, got {fc}"
+                    )
+                x = x.reshape(b, t, cfg.in_channels, cfg.n_mels)
+                x = jnp.transpose(x, (0, 2, 1, 3))  # (B, C, T, F)
+            else:
+                x = x[:, None, :, :]  # (B, 1, T, F)
         if x.ndim != 4:
             raise ValueError(f"expected (B,T,F) or (B,C,T,F) input, got {x.shape}")
         if cfg.pool_axis == "time":

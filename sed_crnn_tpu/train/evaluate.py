@@ -38,10 +38,10 @@ def window_split(
     return xw, yw
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _forward_all(model: CRNN, params, state, xw, n_valid, batch_size: int):
-    """Probabilities for every window, batched via lax.map (padded tail
-    windows are forwarded but masked out by the caller through n_valid)."""
+@partial(jax.jit, static_argnums=(0, 4))
+def _forward_all(model: CRNN, params, state, xw, batch_size: int):
+    """Probabilities for every window, batched via lax.map; the caller trims
+    padded tail windows from the result."""
     n = xw.shape[0]
     n_batches = n // batch_size
     xb = xw[: n_batches * batch_size].reshape(n_batches, batch_size, *xw.shape[1:])
@@ -78,7 +78,7 @@ def evaluate_split(
     if pad:
         xw = np.concatenate([xw, np.zeros((pad, *xw.shape[1:]), xw.dtype)], axis=0)
 
-    probs = _forward_all(model, params, state, jnp.asarray(xw), n, batch_size)
+    probs = _forward_all(model, params, state, jnp.asarray(xw), batch_size)
     probs = probs[:n]
     flat_p = probs.reshape(-1, probs.shape[-1])
     flat_y = jnp.asarray(yw.reshape(-1, yw.shape[-1]))
