@@ -31,6 +31,31 @@ def test_train_cli_data_parallel(tmp_path):
     assert (runs[-1] / "fold1" / "best_fold1.npz").exists()
 
 
+def test_dp_with_sequence_sampler(rng):
+    """The legacy full-sweep sampler under the data-parallel trainer (tiny
+    SEDnet-style config on the CPU mesh)."""
+    from sed_crnn_tpu.parallel.data_parallel import DataParallelTrainer
+    from sed_crnn_tpu.train.loop import make_samplers
+
+    mesh = make_mesh(4)
+    cfg = get_preset("sednet-dcase")
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, conv_channels=(4, 4, 4), gru_hidden=(4, 4), seq_len_in=64
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=8),
+    )
+    mel = rng.standard_normal((1500, 40)).astype(np.float32)
+    lab = (rng.random((1500, 6)) < 0.05).astype(np.float32)
+    fold = {"train_x": mel, "train_y": lab, "val_x": mel[:800], "val_y": lab[:800]}
+    ts_, vs_ = make_samplers(cfg, fold)
+    trainer = DataParallelTrainer(get_model(cfg.model), cfg.train, ts_, vs_, mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, scores = trainer.train_epoch(state, jax.random.PRNGKey(1), 2)
+    val = trainer.eval_epoch(state, jax.random.PRNGKey(2), 1)
+    assert np.isfinite(float(scores["loss"])) and np.isfinite(float(val["loss"]))
+
+
 def test_batched_streaming_sharded(rng):
     """BASELINE config 5: batched long-file streaming with the batch axis
     sharded across the mesh must match per-file streaming."""
