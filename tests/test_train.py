@@ -192,6 +192,29 @@ def test_early_stop_triggers(tmp_path, rng):
     assert res.epochs_run <= 4  # stops right after patience exhausted
 
 
+def test_run_fold_debug_mode(tmp_path, rng, tiny_cfg):
+    """debug=True runs the NaN/shape guards each epoch without tripping on a
+    healthy run, and trips loudly on a poisoned one."""
+    cfg = tiny_cfg.replace(
+        train=tiny_cfg.train.__class__(
+            **{**tiny_cfg.train.__dict__, "max_epochs": 1, "plot_every": 0}
+        )
+    )
+    fold = _synthetic_fold(rng, 2500)
+    res = train_loop.run_fold(cfg, fold, 7, str(tmp_path), verbose=False, debug=True)
+    assert res.epochs_run == 1
+
+    from sed_crnn_tpu.utils.debug import NonFiniteError
+
+    poisoned = dict(fold)
+    poisoned["train_x"] = fold["train_x"].copy()
+    poisoned["train_x"][10:500] = np.inf  # drives loss/params non-finite
+    with pytest.raises(NonFiniteError):
+        train_loop.run_fold(
+            cfg, poisoned, 8, str(tmp_path), verbose=False, debug=True
+        )
+
+
 def test_run_experiment_aggregates(tmp_path, rng, tiny_cfg):
     cfg = tiny_cfg.replace(
         train=tiny_cfg.train.__class__(
