@@ -115,6 +115,26 @@ def all_scores(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int) -> Dict[
     }
 
 
+@partial(jax.jit, static_argnums=(2,))
+def class_wise_scores(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int):
+    """Per-class 1-sec-segment F1 and ER (sed_eval-style class breakdown —
+    the reference reports only overall scores). Returns two (n_classes,)
+    arrays, vmapped over the class axis of the pooled blocks."""
+    o, t = _as_2d(pred), _as_2d(y)
+    o_ceil = _block_max(o, frames_in_1_sec, "ceil")
+    t_ceil = _block_max(t, frames_in_1_sec, "ceil")
+    o_floor = _block_max(o, frames_in_1_sec, "floor")
+    t_floor = _block_max(t, frames_in_1_sec, "floor")
+
+    f1s = jax.vmap(lambda oc, tc: f1_framewise(oc[:, None], tc[:, None]), in_axes=1)(
+        o_ceil, t_ceil
+    )
+    ers = jax.vmap(lambda oc, tc: er_framewise(oc[:, None], tc[:, None]), in_axes=1)(
+        o_floor, t_floor
+    )
+    return f1s, ers
+
+
 @partial(jax.jit, static_argnums=(3,))
 def threshold_sweep(
     probs: jnp.ndarray,

@@ -94,6 +94,20 @@ def test_all_scores_confusion_matrix(rng):
     assert tp == int(np.logical_and(o == 1, t == 1).sum())
 
 
+def test_class_wise_scores_match_per_column_oracle(rng):
+    o = _rand_bin(rng, (300, 6), 0.2)
+    t = _rand_bin(rng, (300, 6), 0.2)
+    f1s, ers = metrics.class_wise_scores(jnp.asarray(o), jnp.asarray(t), 7)
+    assert f1s.shape == ers.shape == (6,)
+    for c in range(6):
+        np.testing.assert_allclose(
+            float(f1s[c]), ref_f1_1sec(o[:, c : c + 1], t[:, c : c + 1], 7), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(ers[c]), ref_er_1sec(o[:, c : c + 1], t[:, c : c + 1], 7), atol=1e-6
+        )
+
+
 def test_threshold_sweep_matches_pointwise(rng):
     p = rng.random((400, 1)).astype(np.float32)
     t = _rand_bin(rng, (400, 1), 0.2)
