@@ -135,6 +135,27 @@ def class_wise_scores(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int):
     return f1s, ers
 
 
+def class_wise_report(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int):
+    """Per-class breakdown with absent classes masked instead of leaking the
+    overall scorer's unguarded 0/0 (the parity quirk stays in
+    `class_wise_scores`; this report-friendly wrapper is new surface).
+
+    Returns a dict of per-class lists: ``f1_1s``/``er_1s`` hold ``None`` for
+    classes with no reference blocks in the split, and ``present`` flags
+    which classes actually occur.
+    """
+    f1s, ers = class_wise_scores(pred, y, frames_in_1_sec)
+    t = _as_2d(y)
+    # Presence per the ER path's floor-pooled blocks (the denominator that
+    # goes to zero); a class with positives only in the truncated tail still
+    # has Nref == 0 there.
+    nref = _block_max(t, frames_in_1_sec, "floor").sum(axis=0)
+    present = [bool(v) for v in np.asarray(nref > 0)]
+    f1_list = [float(v) if p else None for v, p in zip(np.asarray(f1s), present)]
+    er_list = [float(v) if p else None for v, p in zip(np.asarray(ers), present)]
+    return {"f1_1s": f1_list, "er_1s": er_list, "present": present}
+
+
 @partial(jax.jit, static_argnums=(3,))
 def threshold_sweep(
     probs: jnp.ndarray,

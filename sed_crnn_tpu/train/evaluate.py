@@ -98,17 +98,15 @@ def evaluate_split(
         np.asarray(flat_p), np.asarray(flat_y), frame_hop_s, threshold=t.threshold
     )
 
-    f1_cls, er_cls = metrics_ops.class_wise_scores(
+    # Absent classes are masked to None instead of NaN/inf leaking into JSON.
+    class_wise = metrics_ops.class_wise_report(
         (flat_p > t.threshold).astype(jnp.float32), flat_y, t.frames_in_1_sec
     )
 
     return {
         "er_event": ev["er_event"],
         "f1_event": ev["f1_event"],
-        "class_wise": {
-            "f1_1s": [float(v) for v in f1_cls],
-            "er_1s": [float(v) for v in er_cls],
-        },
+        "class_wise": class_wise,
         "n_windows": n,
         "threshold": float(t.threshold),
         "er_1s": float(base["er_overall_1sec"]),

@@ -307,8 +307,9 @@ def run_fold(
                 f"val_ER={val_er:.3f}"
             )
         # BASELINE throughput unit: windows trained per wall-second, as
-        # audio-hours/sec (43 frames ~ 1 s of audio)
-        audio_sec = n_train_steps * tcfg.batch_size * cfg.model.seq_len_in / 43.066
+        # audio-hours/sec (sample_rate/hop frames per second of audio)
+        frames_per_sec = cfg.frontend.sample_rate / cfg.frontend.hop_length
+        audio_sec = n_train_steps * tcfg.batch_size * cfg.model.seq_len_in / frames_per_sec
         artifacts.append_jsonl(
             jsonl_path,
             {

@@ -108,6 +108,21 @@ def test_class_wise_scores_match_per_column_oracle(rng):
         )
 
 
+def test_class_wise_report_masks_absent_classes(rng):
+    """A class with no reference blocks must report None, not NaN/inf."""
+    o = _rand_bin(rng, (300, 3), 0.2)
+    t = _rand_bin(rng, (300, 3), 0.3)
+    t[:, 1] = 0.0  # class 1 absent from the references
+    rep = metrics.class_wise_report(jnp.asarray(o), jnp.asarray(t), 7)
+    assert rep["present"] == [True, False, True]
+    assert rep["er_1s"][1] is None and rep["f1_1s"][1] is None
+    for c in (0, 2):
+        np.testing.assert_allclose(
+            rep["er_1s"][c], ref_er_1sec(o[:, c : c + 1], t[:, c : c + 1], 7), atol=1e-6
+        )
+        assert np.isfinite(rep["f1_1s"][c])
+
+
 def test_threshold_sweep_matches_pointwise(rng):
     p = rng.random((400, 1)).astype(np.float32)
     t = _rand_bin(rng, (400, 1), 0.2)
