@@ -97,12 +97,22 @@ def extract_dcase(
     os.makedirs(cache_dir, exist_ok=True)
     tag = "bin" if binaural else "mon"
     n_classes = len(catalog_mod.DCASE_CLASSES)
+    log_path = os.path.join(cache_dir, "feature_log.jsonl")
 
     feat_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
     def featurize(fname, events):
+        # Same skip-if-cached + timing-log semantics as the Decorte path
+        # (reference `feature.py:74-77, 99-105`): a rerun touches no FFTs.
         if fname in feat_cache:
             return feat_cache[fname]
+        out_npz = store.video_feature_path(cache_dir, fname, tag)
+        if os.path.exists(out_npz):
+            mbe, lbl = store.load_video_features(out_npz)
+            print(f"[cached] {fname} -> {mbe.shape[0]} frames")
+            feat_cache[fname] = (mbe, lbl)
+            return mbe, lbl
+        t0 = time.time()
         path = os.path.join(audio_dir, fname)
         if binaural:
             pcm, sr = read_wav_multichannel(path)
@@ -120,6 +130,18 @@ def extract_dcase(
             fcfg.hop_length,
             n_classes=n_classes,
             class_ids=[c for _, _, c in events],
+        )
+        store.save_video_features(out_npz, mbe, lbl)
+        dt = time.time() - t0
+        print(f"[audio] {fname} -> {mbe.shape[0]} frames in {dt:.2f}s")
+        append_jsonl(
+            log_path,
+            {
+                "video": fname,
+                "frames": int(mbe.shape[0]),
+                "duration_sec": round(dt, 2),
+                "saved": out_npz,
+            },
         )
         feat_cache[fname] = (mbe, lbl)
         return mbe, lbl

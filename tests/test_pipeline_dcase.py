@@ -148,6 +148,19 @@ def test_dcase_feature_pipeline(tmp_path, rng, binaural):
     assert fold["train_y"][:, 1].sum() > 0 and fold["train_y"][:, 2].sum() > 0
     assert fold["train_y"][:, 0].sum() == 0
 
+    # Per-file cache + feature log (reference `feature.py:74-77, 99-105`):
+    # first run wrote one npz + one log line per wav ...
+    log_path = os.path.join(cache, "feature_log.jsonl")
+    per_file = [f for f in os.listdir(cache) if f.endswith(f"_{tag}.npz")]
+    assert len(per_file) == 4
+    assert len(open(log_path).read().strip().splitlines()) == 4
+    # ... and a rerun recomputes nothing: per-file npz mtimes unchanged and
+    # no new log entries (extraction is the only writer of both).
+    mtimes = {f: os.path.getmtime(os.path.join(cache, f)) for f in per_file}
+    feature_app.main(args)
+    assert {f: os.path.getmtime(os.path.join(cache, f)) for f in per_file} == mtimes
+    assert len(open(log_path).read().strip().splitlines()) == 4
+
     if binaural:
         from sed_crnn_tpu.data import seqs
         from sed_crnn_tpu.models import get_model
