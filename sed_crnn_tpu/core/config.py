@@ -73,6 +73,13 @@ class ModelConfig:
     dropout_per_block: bool = True  # v1: after every block; v2: trailing only
     # Recurrent stack: hidden sizes of successive bidirectional GRUs.
     gru_hidden: Sequence[int] = (32, 32)
+    # r/z gate nonlinearity: "sigmoid" (torch/cuDNN) or "hard_sigmoid" (the
+    # keras-2.2.4 default recurrent_activation). The sednet preset keeps
+    # "sigmoid" — the published architecture specifies tanh units and the
+    # diagram is silent on gate activations — but exact keras-2.2.4
+    # default-config cell numerics are available (and oracle-tested) via
+    # "hard_sigmoid".
+    gru_gate_activation: str = "sigmoid"
     # v1 uses one torch-style stacked GRU (layer2 input = 2*H of layer1);
     # functionally identical to successive biGRUs when sizes are equal.
     # Head: dense widths applied time-distributed; last layer has no

@@ -90,7 +90,14 @@ class CRNN:
         reset_after = self.cfg.name != "sednet"  # legacy keras convention
         grus, in_dim = [], self.flat_dim
         for h in self.cfg.gru_hidden:
-            grus.append(BiGRU(in_dim, h, reset_after=reset_after))
+            grus.append(
+                BiGRU(
+                    in_dim,
+                    h,
+                    reset_after=reset_after,
+                    gate_activation=self.cfg.gru_gate_activation,
+                )
+            )
             in_dim = 2 * h
         return grus
 

@@ -16,7 +16,12 @@ Gate order is (reset, update, candidate) in torch/cuDNN weight layout, with
 state, `h_n = tanh(x_n + r * (W_hn h + b_hn))`). ``reset_after=False`` gives
 the Keras-2.2-era convention used by the legacy DCASE SEDnet
 (`requirements.txt:1` keras==2.2.4), where reset is applied to ``h`` before
-the recurrent matmul and there is a single bias.
+the recurrent matmul and there is a single bias. ``gate_activation`` selects
+the r/z gate nonlinearity: "sigmoid" (torch/cuDNN and modern keras) or
+"hard_sigmoid" (``clip(0.2x + 0.5, 0, 1)`` — the keras-2.2.4 default
+``recurrent_activation``; combine with ``reset_after=False`` to reproduce the
+legacy SEDnet's exact cell numerics, oracle-tested in
+`tests/test_gru_parity.py`).
 """
 
 from __future__ import annotations
@@ -27,11 +32,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _gate_fn(name: str):
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    if name == "hard_sigmoid":
+        return lambda v: jnp.clip(0.2 * v + 0.5, 0.0, 1.0)
+    raise ValueError(f"unknown gate_activation {name!r}")
+
+
 @dataclasses.dataclass(frozen=True)
 class GRU:
     in_dim: int
     hidden: int
     reset_after: bool = True
+    gate_activation: str = "sigmoid"
 
     def init(self, key, dtype=jnp.float32):
         ks = jax.random.split(key, 4)
@@ -64,20 +78,21 @@ class GRU:
         xp = jnp.swapaxes(xp, 0, 1)                       # (T, B, 3H) scan-major
         wh = params["wh"]
         bh = params.get("bh")
+        gate = _gate_fn(self.gate_activation)
 
         def step(h, xt):
             xr, xz, xn = xt[:, :H], xt[:, H : 2 * H], xt[:, 2 * H :]
             if self.reset_after:
                 hp = jnp.dot(h, wh) + bh
                 hr, hz, hn = hp[:, :H], hp[:, H : 2 * H], hp[:, 2 * H :]
-                r = jax.nn.sigmoid(xr + hr)
-                z = jax.nn.sigmoid(xz + hz)
+                r = gate(xr + hr)
+                z = gate(xz + hz)
                 n = jnp.tanh(xn + r * hn)
             else:
                 hr = jnp.dot(h, wh[:, :H])
                 hz = jnp.dot(h, wh[:, H : 2 * H])
-                r = jax.nn.sigmoid(xr + hr)
-                z = jax.nn.sigmoid(xz + hz)
+                r = gate(xr + hr)
+                z = gate(xz + hz)
                 n = jnp.tanh(xn + jnp.dot(r * h, wh[:, 2 * H :]))
             h_new = (1.0 - z) * n + z * h
             return h_new, h_new
@@ -96,10 +111,11 @@ class BiGRU:
     in_dim: int
     hidden: int
     reset_after: bool = True
+    gate_activation: str = "sigmoid"
 
     @property
     def _cell(self) -> GRU:
-        return GRU(self.in_dim, self.hidden, self.reset_after)
+        return GRU(self.in_dim, self.hidden, self.reset_after, self.gate_activation)
 
     def init(self, key, dtype=jnp.float32):
         kf, kb = jax.random.split(key)

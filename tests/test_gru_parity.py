@@ -2,6 +2,7 @@
 oracle, `sed.py:101`, `crnn_lightning.py:61-62`)."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -96,3 +97,69 @@ def test_keras_convention_reset_before(rng):
     out, h = cell.apply(params, x)
     assert out.shape == (2, 7, 4) and h.shape == (2, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------- keras-2.2.4 numerical oracle ----------------
+# The legacy SEDnet's recurrence (reference `requirements.txt:1`,
+# keras==2.2.4): reset-before, single bias, gate order (z, r, h).
+
+from tests.oracle.keras_gru_ref import keras_bigru_forward, keras_gru_forward
+
+
+def _keras_weights(rng, D, H):
+    """(kernel (D,3H) [z|r|h], recurrent_kernel (H,3H), bias (3H,))."""
+    return (
+        rng.uniform(-0.4, 0.4, (D, 3 * H)).astype(np.float32),
+        rng.uniform(-0.4, 0.4, (H, 3 * H)).astype(np.float32),
+        rng.uniform(-0.1, 0.1, (3 * H,)).astype(np.float32),
+    )
+
+
+def _transplant(kernel, recurrent_kernel, bias):
+    """keras [z|r|h] column order -> this framework's (r, z, n) layout."""
+    H = recurrent_kernel.shape[0]
+
+    def reorder(w):
+        return np.concatenate([w[..., H : 2 * H], w[..., :H], w[..., 2 * H :]], axis=-1)
+
+    return {
+        "wi": jnp.asarray(reorder(kernel)),
+        "wh": jnp.asarray(reorder(recurrent_kernel)),
+        "bi": jnp.asarray(reorder(bias)),
+    }
+
+
+@pytest.mark.parametrize("gate", ["sigmoid", "hard_sigmoid"])
+def test_keras_transplant_matches_oracle(rng, gate):
+    """reset_after=False transplant parity at <=1e-5, both gate conventions
+    (hard_sigmoid is the keras-2.2.4 default recurrent_activation)."""
+    B, T, D, H = 3, 13, 7, 5
+    kw = _keras_weights(rng, D, H)
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    ref, ref_h = keras_gru_forward(x, *kw, recurrent_activation=gate)
+
+    cell = GRU(D, H, reset_after=False, gate_activation=gate)
+    out, h_last = cell.apply(_transplant(*kw), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), ref_h, atol=1e-5)
+
+    # reversed direction: scan(reverse=True) == keras go_backwards + re-reverse
+    ref_b, _ = keras_gru_forward(x, *kw, recurrent_activation=gate, go_backwards=True)
+    out_b, _ = cell.apply(_transplant(*kw), jnp.asarray(x), reverse=True)
+    np.testing.assert_allclose(np.asarray(out_b), ref_b, atol=1e-5)
+
+
+@pytest.mark.parametrize("gate", ["sigmoid", "hard_sigmoid"])
+def test_keras_bidirectional_transplant_matches_oracle(rng, gate):
+    """Bidirectional concat semantics vs the keras oracle — the flagship
+    SEDnet's biGRU(32) stack shape (reference diagram, 2x biGRU tanh)."""
+    B, T, D, H = 2, 16, 10, 32
+    kwf = _keras_weights(rng, D, H)
+    kwb = _keras_weights(rng, D, H)
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    ref = keras_bigru_forward(x, kwf, kwb, recurrent_activation=gate)
+
+    bi = BiGRU(D, H, reset_after=False, gate_activation=gate)
+    params = {"fwd": _transplant(*kwf), "bwd": _transplant(*kwb)}
+    out, _ = bi.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
