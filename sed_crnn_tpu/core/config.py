@@ -137,6 +137,11 @@ class TrainConfig:
     # "balanced": pos/neg window resampling (the hit-detection pipelines);
     # "sequence": full-sweep aligned sequences (the legacy DCASE pipeline).
     sampler: str = "balanced"
+    # Validation mode: None defaults per sampler — "sequence" evaluates the
+    # FULL val split deterministically every epoch (reference
+    # `sed.py:169-176`), "balanced" validates by balanced resampling
+    # (reference `sed.py:151-152`). Set True/False to override.
+    val_full_sweep: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -51,8 +51,12 @@ def _reduce(loss, reduction):
 
 
 def make_loss(name: str, alpha: float = 0.25, gamma: float = 2.0):
+    """Returns ``fn(logits, targets, reduction="mean")`` — the reduction
+    passthrough lets masked full-sweep evaluation take elementwise losses."""
     if name == "bce":
         return bce_with_logits
     if name == "focal":
-        return lambda logits, targets: focal_bce(logits, targets, alpha, gamma)
+        return lambda logits, targets, reduction="mean": focal_bce(
+            logits, targets, alpha, gamma, reduction=reduction
+        )
     raise ValueError(f"unknown loss {name!r}; expected 'bce' or 'focal'")

@@ -116,6 +116,48 @@ def all_scores(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int) -> Dict[
 
 
 @partial(jax.jit, static_argnums=(2,))
+def all_scores_masked(
+    pred: jnp.ndarray,
+    y: jnp.ndarray,
+    frames_in_1_sec: int,
+    n_valid_rows: jnp.ndarray,
+):
+    """`all_scores` over only the first ``n_valid_rows`` rows, with the count
+    TRACED so one compiled program serves epochs of different lengths (padded
+    shape-bucketed epochs append zero rows).
+
+    Exactness vs scoring the unpadded prefix: zero rows contribute nothing to
+    frame F1/ER sums; the segment-F1 ceil path's tail zero-padding is exactly
+    what padding provides; and the segment-ER floor path's truncation is
+    reproduced by ALSO zeroing the valid stream's partial tail block before
+    pooling. Only the TN count needs an explicit row mask.
+    """
+    o, t = _as_2d(pred).astype(jnp.float32), _as_2d(y).astype(jnp.float32)
+    rows = jnp.arange(o.shape[0])[:, None]
+    valid = rows < n_valid_rows
+    o = jnp.where(valid, o, 0.0)
+    t = jnp.where(valid, t, 0.0)
+    ob = o.astype(jnp.bool_)
+    tb = t.astype(jnp.bool_)
+    er_rows = (n_valid_rows // frames_in_1_sec) * frames_in_1_sec
+    oe = jnp.where(rows < er_rows, o, 0.0)
+    te = jnp.where(rows < er_rows, t, 0.0)
+    return {
+        "f1_frame": f1_framewise(o, t),
+        "er_frame": er_framewise(o, t),
+        "f1_overall_1sec": f1_segment(o, t, frames_in_1_sec),
+        "er_overall_1sec": er_framewise(
+            _block_max(oe, frames_in_1_sec, "floor"),
+            _block_max(te, frames_in_1_sec, "floor"),
+        ),
+        "tn": jnp.sum(~ob & ~tb & valid),
+        "fp": jnp.sum(ob & ~tb),
+        "fn": jnp.sum(~ob & tb),
+        "tp": jnp.sum(ob & tb),
+    }
+
+
+@partial(jax.jit, static_argnums=(2,))
 def class_wise_scores(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int):
     """Per-class 1-sec-segment F1 and ER (sed_eval-style class breakdown —
     the reference reports only overall scores). Returns two (n_classes,)

@@ -11,25 +11,24 @@ the reduced gradient equals the single-device gradient of the same GLOBAL
 batch — verified directly in `tests/test_parallel.py` (RNG *streams* differ
 from the single-device trainer by construction: each replica draws its own
 windows and dropout masks).
+
+The epoch programs themselves live in `train/loop.py::_epoch_program` —
+one builder covers single-device and DP (the DP branch wraps the scan in
+shard_map and folds the replica index into step keys), so DP folds share
+compiled programs across folds exactly like single-device folds do.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax import shard_map
-from jax.sharding import PartitionSpec as P
 
 from sed_crnn_tpu.core.config import TrainConfig
-from sed_crnn_tpu.data.sampler import BalancedWindowSampler
 from sed_crnn_tpu.models.crnn import CRNN
-from sed_crnn_tpu.nn.layers import Ctx
 from sed_crnn_tpu.parallel.mesh import DATA_AXIS, local_batch_slice
-from sed_crnn_tpu.train.loop import Trainer, TrainState
+from sed_crnn_tpu.train.loop import Trainer
 
 
 class DataParallelTrainer(Trainer):
@@ -39,8 +38,8 @@ class DataParallelTrainer(Trainer):
         self,
         model: CRNN,
         tcfg: TrainConfig,
-        train_sampler: BalancedWindowSampler,
-        val_sampler: BalancedWindowSampler,
+        train_sampler,
+        val_sampler,
         mesh,
         axis_name: str = DATA_AXIS,
     ):
@@ -50,84 +49,8 @@ class DataParallelTrainer(Trainer):
         self.n_replicas = mesh.shape[axis_name]
         self.local_batch = local_batch_slice(tcfg.batch_size, mesh, axis_name)
 
-    # ---- per-replica step bodies ----------------------------------------
-    def _dp_train_step(self, state: TrainState, key: jax.Array):
-        ax = self.axis_name
-        replica = jax.lax.axis_index(ax)
-        k_batch, k_drop = jax.random.split(jax.random.fold_in(key, replica))
-        x, y = self.train_sampler.sample_batch(k_batch, self.local_batch)
-
-        def loss_of(params):
-            logits, new_mstate, _ = self.model.apply(
-                params,
-                state.model_state,
-                x,
-                Ctx(train=True, rng=k_drop, axis_name=ax),
-            )
-            # pmean INSIDE the differentiated function: the loss becomes the
-            # global-batch mean, and differentiating w.r.t. the replicated
-            # params emits exactly one gradient psum over ICI (the transpose
-            # of the implicit broadcast) — grads come out replicated and
-            # equal to the single-device global-batch gradient; no outer
-            # reduction is needed (an extra pmean would double-count).
-            loss = jax.lax.pmean(self.loss_fn(logits, y), ax)
-            return loss, (logits, new_mstate)
-
-        (loss, (logits, new_mstate)), grads = jax.value_and_grad(
-            loss_of, has_aux=True
-        )(state.params)
-        new_params, new_opt = self.adam.update(
-            grads, state.opt_state, state.params, state.lr_scale
-        )
-        new_state = TrainState(new_params, new_mstate, new_opt, state.lr_scale)
-        return new_state, (loss, jax.nn.sigmoid(logits), y)
-
-    def _dp_eval_step(self, state: TrainState, key: jax.Array):
-        ax = self.axis_name
-        replica = jax.lax.axis_index(ax)
-        k = jax.random.fold_in(key, replica)
-        x, y = self.val_sampler.sample_batch(k, self.local_batch)
-        logits, _, _ = self.model.apply(
-            state.params, state.model_state, x, Ctx(train=False)
-        )
-        loss = jax.lax.pmean(self.loss_fn(logits, y), ax)
-        return state, (loss, jax.nn.sigmoid(logits), y)
-
-    # ---- epoch programs --------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 3))
-    def train_epoch(self, state: TrainState, key: jax.Array, n_steps: int):
-        def epoch_body(state):
-            keys = jax.random.split(key, n_steps)
-            state, (losses, preds, ys) = jax.lax.scan(self._dp_train_step, state, keys)
-            return state, losses, preds, ys
-
-        sharded = shard_map(
-            epoch_body,
-            mesh=self.mesh,
-            in_specs=(P(),),
-            out_specs=(P(), P(), P(None, self.axis_name), P(None, self.axis_name)),
-            check_vma=False,
-        )
-        state, losses, preds, ys = sharded(state)
-        scores = self._epoch_scores(losses[:, None], preds, ys)
-        return state, scores
-
-    @partial(jax.jit, static_argnums=(0, 3))
-    def eval_epoch(self, state: TrainState, key: jax.Array, n_steps: int):
-        def epoch_body(state):
-            keys = jax.random.split(key, n_steps)
-            _, (losses, preds, ys) = jax.lax.scan(self._dp_eval_step, state, keys)
-            return losses, preds, ys
-
-        sharded = shard_map(
-            epoch_body,
-            mesh=self.mesh,
-            in_specs=(P(),),
-            out_specs=(P(), P(None, self.axis_name), P(None, self.axis_name)),
-            check_vma=False,
-        )
-        losses, preds, ys = sharded(state)
-        return self._epoch_scores(losses[:, None], preds, ys)
+    def _dp(self):
+        return (self.mesh, self.axis_name)
 
 
 def shard_fold_data(

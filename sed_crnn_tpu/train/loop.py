@@ -7,6 +7,17 @@ TPU-shaped: an entire epoch is ONE device program — `lax.scan` over steps,
 each step fusing on-device batch sampling, forward, loss, backward, Adam
 update, and prediction collection. The host touches the device once per
 epoch (metrics scalars out, plots/logs/checkpoints), instead of per batch.
+
+Epoch programs COMPILE ONCE PER EXPERIMENT, not per fold: they are built by a
+module-level cache keyed only on hashable statics (model config, train
+config, sampler spec, padded step count), and fold data enters as traced
+arguments — never as closure constants (which would silently bake fold A's
+arrays into fold B's program). Folds of different sizes share one program by
+zero-padding fold arrays to common shape buckets and masking padded trailing
+steps with `lax.cond` (skipped steps leave the state untouched and contribute
+zero rows that the masked scorer ignores). The reference recreates its cheap
+Python loops per fold (`train_lightning.py:27-63`); here the expensive
+artifact is the XLA program, so sharing it is the analogous economy.
 """
 
 from __future__ import annotations
@@ -14,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from functools import partial
+from functools import lru_cache
 from typing import Any, Dict, List, NamedTuple, Optional
 
 import jax
@@ -23,7 +34,14 @@ import numpy as np
 
 from sed_crnn_tpu.core import checkpoint as ckpt_io
 from sed_crnn_tpu.core.config import ExperimentConfig, TrainConfig
-from sed_crnn_tpu.data.sampler import BalancedWindowSampler
+from sed_crnn_tpu.data.sampler import (
+    BalancedWindowSampler,
+    SequenceWindowSampler,
+    WindowSpec,
+    balanced_counts,
+    sample_batch_from,
+    sweep_batch_from,
+)
 from sed_crnn_tpu.models import get_model
 from sed_crnn_tpu.models.crnn import CRNN
 from sed_crnn_tpu.nn.layers import Ctx
@@ -51,14 +69,74 @@ class FoldResult:
     best_checkpoint: Optional[str]
 
 
-def make_samplers(cfg: ExperimentConfig, fold_data: Dict[str, np.ndarray]):
+@dataclasses.dataclass(frozen=True)
+class CompilePlan:
+    """Shared shape buckets across folds, so one compiled epoch program
+    serves the whole k-fold experiment (computed by `plan_folds`)."""
+
+    frame_bucket: int
+    pos_bucket: Optional[int]
+    neg_bucket: Optional[int]
+    n_train_steps_max: int
+    n_val_steps_max: int
+    n_sweep_steps_max: int
+
+
+def plan_folds(cfg: ExperimentConfig, folds: Dict[int, Dict[str, np.ndarray]]) -> CompilePlan:
+    """Numpy-only scan of every fold's split sizes -> the maxima that become
+    the shared padding buckets and padded epoch lengths."""
+    m, t = cfg.model, cfg.train
+    frame_b = pos_b = neg_b = 0
+    tr_max = val_max = sweep_max = 1
+    for fold in folds.values():
+        for role in ("train", "val"):
+            lab = np.asarray(fold[f"{role}_y"])
+            frames = int(lab.shape[0])
+            frame_b = max(frame_b, frames)
+            if t.sampler == "balanced":
+                n_pos, n_neg = balanced_counts(lab, m.seq_len_in)
+                pos_b = max(pos_b, n_pos)
+                neg_b = max(neg_b, n_neg)
+                examples = 2 * n_pos
+                if role == "train":
+                    tr_max = max(tr_max, examples // t.batch_size)
+                else:
+                    val_max = max(val_max, -(-examples // t.batch_size))
+            else:
+                n_windows = frames // m.seq_len_in
+                if role == "train":
+                    tr_max = max(tr_max, max(1, -(-n_windows // t.batch_size)))
+                else:
+                    val_max = max(val_max, max(1, -(-n_windows // t.batch_size)))
+            if role == "val":
+                n_windows = frames // m.seq_len_in
+                sweep_max = max(sweep_max, max(1, -(-n_windows // t.batch_size)))
+    return CompilePlan(
+        frame_bucket=frame_b,
+        pos_bucket=pos_b if t.sampler == "balanced" else None,
+        neg_bucket=neg_b if t.sampler == "balanced" else None,
+        n_train_steps_max=tr_max,
+        n_val_steps_max=val_max,
+        n_sweep_steps_max=sweep_max,
+    )
+
+
+def make_samplers(
+    cfg: ExperimentConfig,
+    fold_data: Dict[str, np.ndarray],
+    plan: Optional[CompilePlan] = None,
+):
     m = cfg.model
     t = cfg.train
+    buckets: Dict[str, Any] = {}
+    if plan is not None:
+        buckets["frame_bucket"] = plan.frame_bucket
     if t.sampler == "balanced":
         sampler_cls = BalancedWindowSampler
+        if plan is not None:
+            buckets["pos_bucket"] = plan.pos_bucket
+            buckets["neg_bucket"] = plan.neg_bucket
     elif t.sampler == "sequence":
-        from sed_crnn_tpu.data.sampler import SequenceWindowSampler
-
         sampler_cls = SequenceWindowSampler
     else:
         raise ValueError(f"unknown sampler {t.sampler!r}")
@@ -69,6 +147,7 @@ def make_samplers(cfg: ExperimentConfig, fold_data: Dict[str, np.ndarray]):
         seq_len_in=m.seq_len_in,
         seq_len_out=m.seq_len_out,
         augment=t.spec_augment,
+        **buckets,
     )
     val_sampler = sampler_cls(
         fold_data["val_x"],
@@ -76,19 +155,226 @@ def make_samplers(cfg: ExperimentConfig, fold_data: Dict[str, np.ndarray]):
         seq_len_in=m.seq_len_in,
         seq_len_out=m.seq_len_out,
         augment=False,
+        **buckets,
     )
     return train_sampler, val_sampler
 
 
+# ---------------------------------------------------------------------------
+# Epoch programs — module-level, cached on hashable statics only
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _epoch_program(
+    model: CRNN,
+    tcfg: TrainConfig,
+    spec: WindowSpec,
+    n_steps_max: int,
+    mode: str,
+    dp,  # None | (Mesh, axis_name)
+):
+    """Build + jit one epoch program.
+
+    mode "train": (state, key, data, n_valid_steps) -> (state, scores)
+    mode "eval":  (state, key, data, n_valid_steps) -> scores   (random draws)
+    mode "sweep": (state, data, n_valid_steps) -> scores        (deterministic
+                  full-split windowed sweep in time order, reference
+                  `sed.py:169-176` semantics)
+
+    Every fold-varying quantity is a traced argument; the lru_cache key holds
+    only value-hashable configs, so fold B can never see fold A's data.
+    """
+    loss_fn = make_loss(tcfg.loss, tcfg.focal_alpha, tcfg.focal_gamma)
+    adam = Adam(
+        learning_rate=tcfg.learning_rate,
+        weight_decay=tcfg.weight_decay,
+        grad_clip_norm=tcfg.grad_clip_norm,
+    )
+    ax = dp[1] if dp else None
+    n_rep = dp[0].shape[ax] if dp else 1
+    batch = tcfg.batch_size
+    local_batch = batch // n_rep
+    t_out = spec.seq_len_out
+    n_classes = model.cfg.n_classes
+
+    def _replica_key(key):
+        return jax.random.fold_in(key, jax.lax.axis_index(ax)) if dp else key
+
+    def train_step(state: TrainState, key: jax.Array, data):
+        k_batch, k_drop = jax.random.split(_replica_key(key))
+        x, y = sample_batch_from(spec, data, k_batch, local_batch)
+
+        def loss_of(params):
+            logits, new_mstate, _ = model.apply(
+                params, state.model_state, x, Ctx(train=True, rng=k_drop, axis_name=ax)
+            )
+            loss = loss_fn(logits, y)
+            if dp:
+                # pmean INSIDE the differentiated function: the loss becomes
+                # the global-batch mean and its transpose emits exactly one
+                # gradient psum over ICI; grads come out replicated and equal
+                # to the single-device global-batch gradient.
+                loss = jax.lax.pmean(loss, ax)
+            return loss, (logits, new_mstate)
+
+        (loss, (logits, new_mstate)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        new_params, new_opt = adam.update(
+            grads, state.opt_state, state.params, state.lr_scale
+        )
+        new_state = TrainState(new_params, new_mstate, new_opt, state.lr_scale)
+        return new_state, (loss, jax.nn.sigmoid(logits), y)
+
+    def eval_step(state: TrainState, key: jax.Array, data):
+        x, y = sample_batch_from(spec, data, _replica_key(key), local_batch)
+        logits, _, _ = model.apply(
+            state.params, state.model_state, x, Ctx(train=False)
+        )
+        loss = loss_fn(logits, y)
+        if dp:
+            loss = jax.lax.pmean(loss, ax)
+        return state, (loss, jax.nn.sigmoid(logits), y)
+
+    zeros_out = (
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((local_batch, t_out, n_classes), jnp.float32),
+        jnp.zeros((local_batch, t_out, n_classes), jnp.float32),
+    )
+
+    def scan_epoch(state, key, data, n_valid_steps):
+        """Scan n_steps_max steps; steps >= n_valid_steps are skipped via
+        lax.cond (state passes through, outputs are zero rows)."""
+        step_fn = train_step if mode == "train" else eval_step
+        idx = jnp.arange(n_steps_max)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+
+        def body(st, inp):
+            k, i = inp
+            return jax.lax.cond(
+                i < n_valid_steps,
+                lambda s: step_fn(s, k, data),
+                lambda s: (s, zeros_out),
+                st,
+            )
+
+        state, (losses, preds, ys) = jax.lax.scan(body, state, (keys, idx))
+        return state, losses, preds, ys
+
+    def _scores(losses, preds, ys, n_valid_steps):
+        n, b, t, c = preds.shape
+        flat_p = (preds > tcfg.threshold).reshape(n * b * t, c)
+        flat_y = ys.reshape(n * b * t, c)
+        n_valid_rows = n_valid_steps * b * t
+        scores = metrics_ops.all_scores_masked(
+            flat_p, flat_y, tcfg.frames_in_1_sec, n_valid_rows
+        )
+        scores["loss"] = jnp.sum(losses) / jnp.maximum(n_valid_steps, 1)
+        return scores
+
+    if mode in ("train", "eval"):
+
+        def epoch(state, key, data, n_valid_steps):
+            if dp:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                sharded = shard_map(
+                    scan_epoch,
+                    mesh=dp[0],
+                    in_specs=(P(), P(), P(), P()),
+                    out_specs=(P(), P(), P(None, ax), P(None, ax)),
+                    check_vma=False,
+                )
+                state, losses, preds, ys = sharded(state, key, data, n_valid_steps)
+            else:
+                state, losses, preds, ys = scan_epoch(state, key, data, n_valid_steps)
+            scores = _scores(losses, preds, ys, n_valid_steps)
+            if mode == "train":
+                return state, scores
+            return scores
+
+        return jax.jit(epoch)
+
+    # ---- mode == "sweep": deterministic full-split windowed evaluation ----
+
+    def sweep_step(state, i, data):
+        base = i * batch + (jax.lax.axis_index(ax) * local_batch if dp else 0)
+        idx = base + jnp.arange(local_batch)
+        x, y, valid = sweep_batch_from(spec, data, idx)
+        logits, _, _ = model.apply(
+            state.params, state.model_state, x, Ctx(train=False)
+        )
+        w = valid.astype(jnp.float32)[:, None, None]
+        elem = loss_fn(logits, y, reduction="none")
+        loss_sum = jnp.sum(elem * w)
+        n_elem = jnp.sum(w) * (t_out * n_classes)
+        if dp:
+            loss_sum = jax.lax.psum(loss_sum, ax)
+            n_elem = jax.lax.psum(n_elem, ax)
+        # Zero invalid windows so the stacked stream needs only a row-count mask.
+        return loss_sum, n_elem, jax.nn.sigmoid(logits) * w, y * w
+
+    sweep_zeros = (
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((local_batch, t_out, n_classes), jnp.float32),
+        jnp.zeros((local_batch, t_out, n_classes), jnp.float32),
+    )
+
+    def sweep_scan(state, data, n_valid_steps):
+        def body(carry, i):
+            out = jax.lax.cond(
+                i < n_valid_steps,
+                lambda _: sweep_step(state, i, data),
+                lambda _: sweep_zeros,
+                None,
+            )
+            return carry, out
+
+        _, outs = jax.lax.scan(body, None, jnp.arange(n_steps_max))
+        return outs
+
+    def sweep_epoch(state, data, n_valid_steps):
+        if dp:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            sharded = shard_map(
+                sweep_scan,
+                mesh=dp[0],
+                in_specs=(P(), P(), P()),
+                out_specs=(P(), P(), P(None, ax), P(None, ax)),
+                check_vma=False,
+            )
+            loss_sums, n_elems, preds, ys = sharded(state, data, n_valid_steps)
+        else:
+            loss_sums, n_elems, preds, ys = sweep_scan(state, data, n_valid_steps)
+        n, b, t, c = preds.shape
+        flat_p = (preds > tcfg.threshold).reshape(n * b * t, c)
+        flat_y = ys.reshape(n * b * t, c)
+        # Valid windows are a time-ordered prefix of the stacked stream.
+        n_windows = data["n_frames"] // spec.seq_len_in
+        scores = metrics_ops.all_scores_masked(
+            flat_p, flat_y, tcfg.frames_in_1_sec, n_windows * t
+        )
+        scores["loss"] = jnp.sum(loss_sums) / jnp.maximum(jnp.sum(n_elems), 1.0)
+        return scores
+
+    return jax.jit(sweep_epoch)
+
+
 class Trainer:
-    """Compiled train/eval epoch programs for one fold."""
+    """Train/eval epoch programs for one fold — compiled programs are shared
+    across Trainer instances (and therefore folds) via `_epoch_program`."""
 
     def __init__(
         self,
         model: CRNN,
         tcfg: TrainConfig,
-        train_sampler: BalancedWindowSampler,
-        val_sampler: BalancedWindowSampler,
+        train_sampler,
+        val_sampler,
     ):
         self.model = model
         self.tcfg = tcfg
@@ -106,6 +392,10 @@ class Trainer:
             else None
         )
 
+    def _dp(self):
+        """(mesh, axis_name) for data-parallel subclasses; None single-device."""
+        return None
+
     # ---- state ---------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
         params, model_state = self.model.init(key)
@@ -117,60 +407,40 @@ class Trainer:
         )
 
     # ---- one epoch = one device program ---------------------------------
-    def _train_step(self, state: TrainState, key: jax.Array):
-        k_batch, k_drop = jax.random.split(key)
-        x, y = self.train_sampler.sample_batch(k_batch, self.tcfg.batch_size)
-
-        def loss_of(params):
-            logits, new_mstate, _ = self.model.apply(
-                params, state.model_state, x, Ctx(train=True, rng=k_drop)
-            )
-            return self.loss_fn(logits, y), (logits, new_mstate)
-
-        (loss, (logits, new_mstate)), grads = jax.value_and_grad(
-            loss_of, has_aux=True
-        )(state.params)
-        new_params, new_opt = self.adam.update(
-            grads, state.opt_state, state.params, state.lr_scale
+    def train_epoch(
+        self, state: TrainState, key: jax.Array, n_steps: int,
+        n_steps_max: Optional[int] = None,
+    ):
+        n_max = int(n_steps if n_steps_max is None else n_steps_max)
+        fn = _epoch_program(
+            self.model, self.tcfg, self.train_sampler.spec, n_max, "train", self._dp()
         )
-        new_state = TrainState(new_params, new_mstate, new_opt, state.lr_scale)
-        preds = jax.nn.sigmoid(logits)
-        return new_state, (loss, preds, y)
+        return fn(state, key, self.train_sampler.data, jnp.int32(n_steps))
 
-    def _eval_step(self, state: TrainState, key: jax.Array):
-        x, y = self.val_sampler.sample_batch(key, self.tcfg.batch_size)
-        logits, _, _ = self.model.apply(
-            state.params, state.model_state, x, Ctx(train=False)
+    def eval_epoch(
+        self, state: TrainState, key: jax.Array, n_steps: int,
+        n_steps_max: Optional[int] = None,
+    ):
+        n_max = int(n_steps if n_steps_max is None else n_steps_max)
+        fn = _epoch_program(
+            self.model, self.tcfg, self.val_sampler.spec, n_max, "eval", self._dp()
         )
-        loss = self.loss_fn(logits, y)
-        return state, (loss, jax.nn.sigmoid(logits), y)
+        return fn(state, key, self.val_sampler.data, jnp.int32(n_steps))
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def train_epoch(self, state: TrainState, key: jax.Array, n_steps: int):
-        keys = jax.random.split(key, n_steps)
-        state, (losses, preds, ys) = jax.lax.scan(self._train_step, state, keys)
-        scores = self._epoch_scores(losses, preds, ys)
-        return state, scores
-
-    @partial(jax.jit, static_argnums=(0, 3))
-    def eval_epoch(self, state: TrainState, key: jax.Array, n_steps: int):
-        keys = jax.random.split(key, n_steps)
-        _, (losses, preds, ys) = jax.lax.scan(self._eval_step, state, keys)
-        return self._epoch_scores(losses, preds, ys)
-
-    def _epoch_scores(self, losses, preds, ys):
-        n, b, t, c = preds.shape
-        flat_p = (preds > self.tcfg.threshold).reshape(n * b * t, c)
-        flat_y = ys.reshape(n * b * t, c)
-        scores = metrics_ops.all_scores(flat_p, flat_y, self.tcfg.frames_in_1_sec)
-        scores["loss"] = jnp.mean(losses)
-        return scores
-
-    def __hash__(self):
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
+    def eval_sweep(
+        self, state: TrainState, n_steps: Optional[int] = None,
+        n_steps_max: Optional[int] = None,
+    ):
+        """Deterministic full-split validation: every aligned window of the
+        val split in time order (reference `sed.py:169-176` evaluates the
+        full split each epoch). Same params => bit-identical scores."""
+        if n_steps is None:
+            n_steps = self.val_sampler.sweep_steps(self.tcfg.batch_size)
+        n_max = int(n_steps if n_steps_max is None else n_steps_max)
+        fn = _epoch_program(
+            self.model, self.tcfg, self.val_sampler.spec, n_max, "sweep", self._dp()
+        )
+        return fn(state, self.val_sampler.data, jnp.int32(n_steps))
 
 
 _TRACK_KEYS = (
@@ -194,6 +464,15 @@ def data_parallel_factory(mesh):
     return factory
 
 
+def _use_full_sweep(tcfg: TrainConfig) -> bool:
+    if tcfg.val_full_sweep is not None:
+        return tcfg.val_full_sweep
+    # The legacy DCASE pipeline evaluates the full val split deterministically
+    # every epoch (`sed.py:169-176`); the hit-detection pipelines validate by
+    # balanced resampling (`sed.py:151-152` uses HitWindowDataset for val).
+    return tcfg.sampler == "sequence"
+
+
 def run_fold(
     cfg: ExperimentConfig,
     fold_data: Dict[str, np.ndarray],
@@ -204,19 +483,24 @@ def run_fold(
     verbose: bool = True,
     debug: bool = False,
     trainer_factory=None,
+    plan: Optional[CompilePlan] = None,
 ) -> FoldResult:
     """Train one fold to early stop; returns the best 1-sec segment ER.
 
-    Mirrors the reference loop semantics: per-epoch train + balanced-resample
-    val, metrics on binarized sigmoid predictions, best-ER checkpointing
-    (`checkpoint_policy='best'`) or every-epoch files (`'all'`), early stop
-    after `early_stop_patience` non-improving epochs (strict `>` for v1
-    parity), optional ReduceLROnPlateau on val loss.
+    Mirrors the reference loop semantics: per-epoch train + val (balanced
+    resample, or a deterministic full-split sweep when
+    ``val_full_sweep``/the sequence sampler applies), metrics on binarized
+    sigmoid predictions, best-ER checkpointing (`checkpoint_policy='best'`)
+    or every-epoch files (`'all'`), early stop after `early_stop_patience`
+    non-improving epochs (strict `>` for v1 parity), optional
+    ReduceLROnPlateau on val loss. Passing ``plan`` (from `plan_folds`) pads
+    fold arrays/steps to shared buckets so every fold reuses one compiled
+    epoch program.
     """
     os.makedirs(art_dir, exist_ok=True)
     tcfg = cfg.train
     model = get_model(cfg.model)
-    train_sampler, val_sampler = make_samplers(cfg, fold_data)
+    train_sampler, val_sampler = make_samplers(cfg, fold_data, plan)
     make_trainer = trainer_factory or Trainer
     trainer = make_trainer(model, tcfg, train_sampler, val_sampler)
 
@@ -259,6 +543,11 @@ def run_fold(
             f"fold {fold_id}: {train_sampler.epoch_examples} examples "
             f"< batch size {tcfg.batch_size}"
         )
+    full_sweep = _use_full_sweep(tcfg)
+    n_sweep_steps = val_sampler.sweep_steps(tcfg.batch_size)
+    n_tr_max = plan.n_train_steps_max if plan else None
+    n_val_max = plan.n_val_steps_max if plan else None
+    n_sweep_max = plan.n_sweep_steps_max if plan else None
 
     best_ckpt_path = os.path.join(art_dir, f"best_fold{fold_id}.npz")
     jsonl_path = os.path.join(art_dir, f"train_fold{fold_id}.jsonl")
@@ -268,8 +557,11 @@ def run_fold(
     for epoch in range(start_epoch, tcfg.max_epochs + 1):
         t_ep = time.time()
         key, k_tr, k_val = jax.random.split(key, 3)
-        state, tr_scores = trainer.train_epoch(state, k_tr, n_train_steps)
-        val_scores = trainer.eval_epoch(state, k_val, n_val_steps)
+        state, tr_scores = trainer.train_epoch(state, k_tr, n_train_steps, n_tr_max)
+        if full_sweep:
+            val_scores = trainer.eval_sweep(state, n_sweep_steps, n_sweep_max)
+        else:
+            val_scores = trainer.eval_epoch(state, k_val, n_val_steps, n_val_max)
         tr = {k: float(v) for k, v in tr_scores.items()}
         val = {k: float(v) for k, v in val_scores.items()}
         epochs_run = epoch
@@ -396,13 +688,17 @@ def run_experiment(
     art_dir: str,
     verbose: bool = True,
     trainer_factory=None,
+    share_compile: bool = True,
 ) -> Dict[str, Any]:
     """K-fold driver (reference `sed.py:144-207`, `train_lightning.py:26-63`):
-    trains every fold, reports per-fold best ER and the cross-fold mean."""
+    trains every fold, reports per-fold best ER and the cross-fold mean.
+    With ``share_compile`` (default), fold arrays are padded to common
+    buckets so the epoch programs compile once for the whole experiment."""
+    plan = plan_folds(cfg, folds) if share_compile and len(folds) > 1 else None
     results = [
         run_fold(
             cfg, fold_data, fold_id, os.path.join(art_dir, f"fold{fold_id}"),
-            verbose=verbose, trainer_factory=trainer_factory,
+            verbose=verbose, trainer_factory=trainer_factory, plan=plan,
         )
         for fold_id, fold_data in sorted(folds.items())
     ]
