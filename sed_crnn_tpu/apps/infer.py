@@ -31,6 +31,7 @@ def infer_file(
     norm_stats=None,
     threshold: float = 0.5,
     carry_backward: bool = False,
+    lookahead: bool = False,
 ):
     cfg = get_preset(preset)
     model = get_model(cfg.model)
@@ -43,7 +44,9 @@ def infer_file(
         mean, scale = norm_stats
         mel = (mel - mean) / scale
 
-    probs = stream_probabilities(model, params, state, mel, carry_backward)
+    probs = stream_probabilities(
+        model, params, state, mel, carry_backward, lookahead=lookahead
+    )
     pool = cfg.model.seq_len_in // cfg.model.seq_len_out
     out_hop = cfg.frontend.hop_length * pool  # samples per output frame
     events = events_from_labels(
@@ -85,13 +88,18 @@ def main(argv=None):
     p.add_argument("--stats-from", help="cache dir with per-video npz for norm stats")
     p.add_argument("--fold", type=int, default=1)
     p.add_argument("--carry-backward", action="store_true")
+    p.add_argument(
+        "--lookahead", action="store_true",
+        help="emit each chunk one chunk late with bounded bidirectional "
+             "right context (latency = seq_len_in frames of audio)",
+    )
     p.add_argument("--out", help="write events as JSON here (default stdout)")
     args = p.parse_args(argv)
 
     stats = stats_from_fold(args.stats_from, args.fold) if args.stats_from else None
     probs, events, meta = infer_file(
         args.wav, args.checkpoint, args.preset, stats, args.threshold,
-        args.carry_backward,
+        args.carry_backward, args.lookahead,
     )
     payload = {
         "wav": args.wav,

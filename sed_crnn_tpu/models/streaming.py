@@ -10,7 +10,18 @@ across chunk boundaries so left context persists for arbitrarily long audio
 direction is zero-initialized per chunk by default (bidirectional RNNs are
 non-causal; carrying the backward state is available as an approximation via
 ``carry_backward=True``). Batch streaming `vmap`s the same program over many
-recordings, and the batch axis can be sharded across chips."""
+recordings, and the batch axis can be sharded across chips.
+
+``stream_logits_lookahead`` trades one chunk of latency for bounded right
+context: chunk k is emitted only after chunk k+1 arrives, and the
+bidirectional stack runs over the [k, k+1] pair so the backward GRU sees a
+full chunk of real future before its influence is truncated. Cost model:
+latency = one chunk of audio (seq_len_in * hop / sr seconds; ~1.5 s at the
+64-frame default, ~5.9 s for 256-frame SEDnet); compute = 3x the causal
+path's conv FLOPs per emitted chunk (a 2-chunk emission pass + a 1-chunk
+carry-advance pass). Residual error vs the full-sequence oracle comes from
+conv zero-padding at pair edges and backward context beyond one chunk, both
+of which decay through the tanh recurrences."""
 
 from __future__ import annotations
 
@@ -74,16 +85,64 @@ def stream_logits(
     return logits.reshape(-1, model.cfg.n_classes)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def stream_logits_lookahead(
+    model: CRNN,
+    params,
+    state,
+    mel: jnp.ndarray,
+) -> jnp.ndarray:
+    """Lookahead-buffer streaming: emit chunk k after seeing chunk k+1.
+
+    Each scan step runs the model over the concatenated [chunk_k, chunk_k+1]
+    pair with the carried forward-GRU state (backward state zero at the
+    pair's right edge, i.e. one chunk of real right context), keeps only
+    chunk k's logits, then advances the forward carry by exactly one chunk
+    with a chunk-only pass. mel (frames, n_mels) -> logits
+    (ceil(frames/seq_len) * seq_len_out, n_classes)."""
+    chunk = model.cfg.seq_len_in
+    chunks = pad_to_chunks(mel.astype(jnp.float32), chunk)   # (n, chunk, F)
+    nxt = jnp.concatenate([chunks[1:], jnp.zeros_like(chunks[:1])], axis=0)
+    carry0 = _zero_carry(model, params, state, chunk)
+
+    def step(carry, xs):
+        xc, xn = xs
+        pair = jnp.concatenate([xc, xn], axis=0)[None]       # (1, 2*chunk, F)
+        logits, _, _ = model.apply(
+            params, state, pair, Ctx(train=False), rnn_carry=carry
+        )
+        # Forward carry advances by ONE chunk (the emitted one), so the next
+        # pair starts from the state after chunk k — a chunk-only pass keeps
+        # the recurrence aligned with emission.
+        _, _, adv = model.apply(
+            params, state, xc[None], Ctx(train=False), rnn_carry=carry
+        )
+        new_carry = [
+            {"fwd": a["fwd"], "bwd": z["bwd"]} for a, z in zip(adv, carry0)
+        ]
+        t_out = logits.shape[1] // 2
+        return new_carry, logits[0, :t_out]
+
+    _, logits = jax.lax.scan(step, carry0, (chunks, nxt))
+    return logits.reshape(-1, model.cfg.n_classes)
+
+
 def stream_probabilities(
     model: CRNN,
     params,
     state,
     mel: np.ndarray,
     carry_backward: bool = False,
+    lookahead: bool = False,
 ) -> np.ndarray:
     """Host wrapper: sigmoid frame probabilities trimmed to the true length
-    (in model output frames, i.e. frames // prod(time_pool))."""
-    logits = stream_logits(model, params, state, jnp.asarray(mel), carry_backward)
+    (in model output frames, i.e. frames // prod(time_pool)).
+    ``lookahead=True`` emits each chunk one chunk late with bounded right
+    context (see `stream_logits_lookahead`)."""
+    if lookahead:
+        logits = stream_logits_lookahead(model, params, state, jnp.asarray(mel))
+    else:
+        logits = stream_logits(model, params, state, jnp.asarray(mel), carry_backward)
     n_out = int(
         mel.shape[0] // (model.cfg.seq_len_in // model.cfg.seq_len_out)
     )

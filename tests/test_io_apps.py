@@ -148,6 +148,40 @@ def test_streaming_carry_propagates_context(rng):
     assert not np.allclose(probs[8:16, 0], windowed, atol=1e-6)
 
 
+def test_streaming_lookahead_recovers_bidirectional_context(rng):
+    """The lookahead buffer (emit chunk k after seeing k+1) must land closer
+    to the full-sequence bidirectional oracle than the causal chunked path —
+    and stay within a modest absolute band of it."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    model = get_model(
+        dataclasses.replace(get_preset("timepooled-v2").model, compute_dtype="float32")
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    n_chunks = 6
+    mel = rng.standard_normal((64 * n_chunks, 40)).astype(np.float32)
+
+    # full-sequence bidirectional oracle: the whole recording as ONE window
+    logits_full, _, _ = model.apply(params, state, jnp.asarray(mel[None]), Ctx())
+    full = np.asarray(jax.nn.sigmoid(logits_full[0, :, 0]))
+
+    causal = stream_probabilities(model, params, state, mel)[:, 0]
+    look = stream_probabilities(model, params, state, mel, lookahead=True)[:, 0]
+    assert look.shape == full.shape
+
+    err_causal = np.abs(causal - full).mean()
+    err_look = np.abs(look - full).mean()
+    assert err_look < err_causal, (err_look, err_causal)
+    assert np.abs(look - full).max() < 0.25
+    assert err_look < 0.03
+
+    # the first chunk's emission sees chunk 2 as real right context: it must
+    # differ from the no-lookahead first chunk (context actually flows in)
+    assert not np.allclose(look[:8], causal[:8], atol=1e-6)
+
+
 # ---------------- apps end to end ----------------
 
 
