@@ -1,31 +1,42 @@
 """Fused log-mel Pallas kernel: windowed real-DFT -> power -> mel -> log in
 ONE kernel, no HBM round-trips for the spectral intermediates.
 
-Formulation (MelT-style GEMM-native frontend): the Hann window is folded into
-the DFT cos/sin bases, so a frame tile F (T_N x n_fft) becomes
+Replaces the reference's host-side `librosa.stft -> |.|^2 -> mel -> log`
+chain (`/root/reference/feature.py:55-59`) with an MXU-native formulation.
 
-    re = F @ Wc_tile      (MXU)          Wc = diag(window) @ cos-basis
-    im = F @ Ws_tile      (MXU)
-    acc += (re*re + im*im) @ melT_tile   (VPU square-add + MXU)
+Default ``bf16x3`` mode — a radix-2 **decimation-in-frequency** real DFT:
 
-with the frequency-bin axis tiled at 128 lanes and a VMEM accumulator per
-frame tile; the natural log is applied once on the last bin tile and only
-the (frames x n_mels) result ever leaves the chip. The XLA "matmul" backend
-(`ops/stft.py`) computes the same math but materializes re/im/power
-(3 x frames x 1025 floats) in HBM between fusions.
+    the frame x (length N) is cut into contiguous halves a, b (length M=N/2);
+    with the Hann window folded in on the VPU,
+        s = w_a*a + w_b*b        -> even bins  X[2f]   = DFT_M(s)[f]
+        d = w_a*a - w_b*b        -> odd bins   X[2f+1] = SDFT_M(d)[f]
+    where SDFT is the half-bin-shifted real transform
+    ``sum_n d_n exp(-2i pi n (f+1/2) / M)`` — still a REAL basis, so both
+    halves are plain real GEMMs of HALF the direct-DFT FLOPs. Contiguous
+    halves mean no even/odd lane deinterleave (a measured 6 ms relayout
+    penalty for the DIT factorization on v5e) and no untangle pass: the
+    even/odd bin split folds into two mel matrices ``fb[:, 0::2]`` and
+    ``fb[:, 1::2]``.
 
-Two precision modes for the DFT GEMMs (the FLOP-dominant part):
+    Each f32 GEMM operand splits into hi+lo bf16 halves and the product runs
+    as three native one-pass MXU dots (hi*hi + hi*lo + lo*hi), recovering
+    ~f32 accuracy (measured 1.7e-4 in the log domain vs the f32 HIGHEST
+    path) at bf16 throughput.
 
-* ``bf16x3`` (default): each f32 operand splits into hi+lo bf16 halves and
-  the product expands to three native one-pass MXU dots (hi*hi + hi*lo +
-  lo*hi), recovering ~f32 accuracy at half the cost of the exact mode —
-  Mosaic has no built-in HIGH dot precision, so the split is done by hand
-  (bases pre-split on host, frames split on the VPU in-kernel).
-* ``exact``: f32 HIGHEST (six-pass) dots, bit-matching the XLA matmul path.
+    All bases (~9.4 MB as bf16 hi/lo) stay VMEM-resident across the whole
+    call (1-D grid over frame tiles, ``vmem_limit_bytes`` raised), so HBM
+    traffic is one pass over the frames — the direct kernel's ~740 MB of
+    per-frame-tile basis re-fetch per 240 s call is gone entirely.
 
-Grid: (frame_tiles, bin_tiles), bin axis fastest, so the frame-tile input
-block stays resident in VMEM across its bin steps (Pallas skips refetches
-when the block index is unchanged).
+    Measured on v5e: 1.39 ms / 240 s audio (173k audio-sec/sec), vs 2.56 ms
+    for the direct bf16x3 kernel, 3.3 ms for the XLA matmul backend, and
+    4.6 ms for the XLA rfft backend.
+
+``exact`` mode keeps the direct (non-factorized) windowed DFT with f32
+HIGHEST (six-pass) dots, bit-matching the XLA ``backend="matmul"`` path;
+it streams basis bin-tiles with a VMEM accumulator. ``bf16x3`` falls back
+to this formulation's grid when ``n_fft`` is not a multiple of 4 (the DIF
+split needs an even sub-transform length).
 """
 
 from __future__ import annotations
@@ -40,12 +51,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sed_crnn_tpu.core.config import FrontendConfig
 from sed_crnn_tpu.ops.mel import mel_filterbank
-from sed_crnn_tpu.ops.stft import _dft_bases, frame_signal
+from sed_crnn_tpu.ops.stft import _dft_bases, frame_signal, hann_window
 
 FRAME_TILE_EXACT = 128   # f32 bases: 256 overflows the 16 MB VMEM budget
-FRAME_TILE_BF16 = 256    # bf16 hi/lo bases are half the bytes -> bigger tiles
+FRAME_TILE_DIF = 256     # resident-bases DIF kernel: best measured tile
 BIN_TILE = 128
 MEL_PAD = 128
+LANE = 128
+# The DIF kernel keeps ~10 MB of bases resident; the Mosaic default scoped
+# budget is 16 MB, so the limit is raised explicitly (v5e has 128 MB VMEM).
+VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,12 +73,143 @@ def _split_bf16(x: np.ndarray):
     return hi, lo
 
 
+def _split_pair(x: jnp.ndarray):
+    """In-kernel hi/lo bf16 split of an f32 value (VPU)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_hi, a_lo, b_hi_ref, b_lo_ref):
+    """bf16x3 product: three one-pass MXU dots approximating an f32 matmul."""
+    d = partial(jnp.dot, preferred_element_type=jnp.float32)
+    b_hi, b_lo = b_hi_ref[:], b_lo_ref[:]
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+# --------------------------------------------------------------------------
+# bf16x3 mode: radix-2 DIF kernel, bases VMEM-resident
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def _dif_operands(sr: int, n_fft: int, n_mels: int, fmin: float, fmax):
+    """Sub-DFT bases (cos|sin packed), per-half window vectors, and the two
+    mel matrices that absorb the even/odd bin interleave.
+
+    Bases are built in float64 and split to bf16 hi/lo pairs on host.
+    Padded basis columns are zero, so they contribute nothing; padded mel
+    rows are zero, so garbage lanes in the power vectors are masked.
+    """
+    M = n_fft // 2
+    n_even = M // 2 + 1                    # E[f], f in [0, M/2] -> X[2f]
+    n_even_pad = _round_up(n_even, LANE)
+    n_odd = M // 2                         # D[f], f in [0, M/2) -> X[2f+1]
+    w = hann_window(n_fft, np.float64)
+    k = np.arange(M, dtype=np.float64)[:, None]
+
+    fe = np.arange(n_even, dtype=np.float64)[None, :]
+    ang_e = 2.0 * np.pi * k * fe / M
+    be = np.zeros((M, 2 * n_even_pad), np.float32)
+    be[:, :n_even] = np.cos(ang_e)
+    be[:, n_even_pad:n_even_pad + n_even] = -np.sin(ang_e)
+
+    fo = np.arange(n_odd, dtype=np.float64)[None, :] + 0.5
+    ang_o = 2.0 * np.pi * k * fo / M
+    bo = np.zeros((M, 2 * n_odd), np.float32)
+    bo[:, :n_odd] = np.cos(ang_o)
+    bo[:, n_odd:] = -np.sin(ang_o)
+
+    wa = w[:M].astype(np.float32)[None, :]
+    wb = w[M:].astype(np.float32)[None, :]
+
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)   # (n_mels, bins)
+    me = np.zeros((n_even_pad, MEL_PAD), np.float32)
+    mo = np.zeros((n_odd, MEL_PAD), np.float32)
+    me[:n_even, :n_mels] = fb.T[0::2]
+    mo[:n_odd, :n_mels] = fb.T[1::2]
+    return be, bo, wa, wb, me, mo, n_even_pad, n_odd
+
+
+def _kernel_dif(fr_ref, wa_ref, wb_ref, be_hi_ref, be_lo_ref, bo_hi_ref,
+                bo_lo_ref, me_hi_ref, me_lo_ref, mo_hi_ref, mo_lo_ref,
+                out_ref, *, M, n_even_pad, n_odd, log_floor):
+    fr = fr_ref[:]
+    ya = wa_ref[:] * fr[:, :M]
+    yb = wb_ref[:] * fr[:, M:]
+    s_hi, s_lo = _split_pair(ya + yb)
+    d_hi, d_lo = _split_pair(ya - yb)
+    E = _dot3(s_hi, s_lo, be_hi_ref, be_lo_ref)   # [E_re | E_im]
+    D = _dot3(d_hi, d_lo, bo_hi_ref, bo_lo_ref)   # [D_re | D_im]
+    e_re, e_im = E[:, :n_even_pad], E[:, n_even_pad:]
+    d_re, d_im = D[:, :n_odd], D[:, n_odd:]
+    p_e = e_re * e_re + e_im * e_im               # power at even bins
+    p_o = d_re * d_re + d_im * d_im               # power at odd bins
+    pe_hi, pe_lo = _split_pair(p_e)
+    po_hi, po_lo = _split_pair(p_o)
+    mel = (_dot3(pe_hi, pe_lo, me_hi_ref, me_lo_ref)
+           + _dot3(po_hi, po_lo, mo_hi_ref, mo_lo_ref))
+    if log_floor is not None:
+        mel = jnp.maximum(mel, log_floor)
+    out_ref[:] = jnp.log(mel)
+
+
+def _fused_dif(frames: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    n_frames, n_fft = frames.shape
+    M = n_fft // 2
+    be, bo, wa, wb, me, mo, n_even_pad, n_odd = _dif_operands(
+        cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
+    )
+    frame_tile = FRAME_TILE_DIF
+    n_tiles = -(-n_frames // frame_tile)
+
+    def whole(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    fspec = pl.BlockSpec((frame_tile, n_fft), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    args = [jnp.asarray(wa), jnp.asarray(wb)]
+    for arr in (be, bo, me, mo):
+        hi, lo = _split_bf16(arr)
+        args += [jnp.asarray(hi), jnp.asarray(lo)]
+    out = pl.pallas_call(
+        partial(_kernel_dif, M=M, n_even_pad=n_even_pad, n_odd=n_odd,
+                log_floor=cfg.log_floor),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * frame_tile, MEL_PAD),
+                                       jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[fspec] + [whole(a) for a in args],
+        out_specs=pl.BlockSpec((frame_tile, MEL_PAD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        # On non-TPU backends (CPU test mesh) run the kernel interpreted so
+        # the same numerics are testable everywhere.
+        interpret=jax.default_backend() != "tpu",
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_frames * (n_fft // 2) * (2 * n_even_pad + 2 * n_odd) * 3
+            + 2 * n_frames * (n_even_pad + n_odd) * MEL_PAD * 3,
+            bytes_accessed=n_frames * n_fft * 4,
+            transcendentals=n_frames * cfg.n_mels,
+        ),
+    )(frames, *args)
+    return out[:n_frames, : cfg.n_mels]
+
+
+# --------------------------------------------------------------------------
+# exact mode: direct windowed DFT, f32 HIGHEST, streamed basis bin-tiles
+# --------------------------------------------------------------------------
+
+
 @lru_cache(maxsize=8)
 def _padded_operands(sr: int, n_fft: int, n_mels: int, fmin: float, fmax):
-    """DFT bases with the bin axis padded to a lane multiple (as f32 and as
-    hi/lo bf16 splits) plus the transposed mel filterbank padded to 128 mel
-    lanes. Padded bins carry zero mel weight, so they do not contribute;
-    padded mel columns produce log(0) = -inf and are sliced off."""
+    """Direct DFT bases with the bin axis padded to a lane multiple plus the
+    transposed mel filterbank padded to 128 mel lanes. Padded bins carry zero
+    mel weight, so they do not contribute; padded mel columns produce
+    log(0) = -inf and are sliced off."""
     n_bins = 1 + n_fft // 2
     n_bins_pad = _round_up(n_bins, BIN_TILE)
     cos_b, sin_b = _dft_bases(n_fft, windowed=True)        # (n_fft, n_bins)
@@ -73,14 +219,7 @@ def _padded_operands(sr: int, n_fft: int, n_mels: int, fmin: float, fmax):
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)     # (n_mels, n_bins)
     mel_t = np.zeros((n_bins_pad, MEL_PAD), np.float32)
     mel_t[:n_bins, :n_mels] = fb.T
-    return wc, ws, mel_t, _split_bf16(wc), _split_bf16(ws)
-
-
-def _finish(acc_ref, out_ref, log_floor):
-    mel = acc_ref[:]
-    if log_floor is not None:
-        mel = jnp.maximum(mel, log_floor)
-    out_ref[:] = jnp.log(mel)
+    return wc, ws, mel_t
 
 
 def _kernel_exact(frames_ref, wc_ref, ws_ref, mel_ref, out_ref, acc_ref,
@@ -102,50 +241,20 @@ def _kernel_exact(frames_ref, wc_ref, ws_ref, mel_ref, out_ref, acc_ref,
 
     @pl.when(j == n_bin_tiles - 1)
     def _():
-        _finish(acc_ref, out_ref, log_floor)
+        mel = acc_ref[:]
+        if log_floor is not None:
+            mel = jnp.maximum(mel, log_floor)
+        out_ref[:] = jnp.log(mel)
 
 
-def _kernel_bf16x3(frames_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref,
-                   mel_ref, out_ref, acc_ref, fhi_ref, flo_ref,
-                   *, n_bin_tiles, log_floor):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        # hi/lo split computed once per frame tile, reused across bin tiles
-        f = frames_ref[:]
-        f_hi = f.astype(jnp.bfloat16)
-        fhi_ref[:] = f_hi
-        flo_ref[:] = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    f_hi, f_lo = fhi_ref[:], flo_ref[:]
-
-    def dot3(w_hi_ref, w_lo_ref):
-        d = partial(jnp.dot, preferred_element_type=jnp.float32)
-        return d(f_hi, w_hi_ref[:]) + d(f_hi, w_lo_ref[:]) + d(f_lo, w_hi_ref[:])
-
-    re = dot3(wc_hi_ref, wc_lo_ref)
-    im = dot3(ws_hi_ref, ws_lo_ref)
-    power = re * re + im * im
-    acc_ref[:] += jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    @pl.when(j == n_bin_tiles - 1)
-    def _():
-        _finish(acc_ref, out_ref, log_floor)
-
-
-def fused_log_mel_frames(frames: jnp.ndarray, cfg: FrontendConfig,
-                         mode: str = "bf16x3") -> jnp.ndarray:
-    """(n_frames, n_fft) frames -> (n_frames, n_mels) log mel energies."""
+def _fused_exact(frames: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     n_frames, n_fft = frames.shape
-    wc, ws, mel_t, (wc_hi, wc_lo), (ws_hi, ws_lo) = _padded_operands(
+    wc, ws, mel_t = _padded_operands(
         cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
     )
     n_bins_pad = wc.shape[1]
     n_bin_tiles = n_bins_pad // BIN_TILE
-    frame_tile = FRAME_TILE_BF16 if mode == "bf16x3" else FRAME_TILE_EXACT
+    frame_tile = FRAME_TILE_EXACT
     n_frame_tiles = -(-n_frames // frame_tile)
 
     def basis_spec():
@@ -158,47 +267,41 @@ def fused_log_mel_frames(frames: jnp.ndarray, cfg: FrontendConfig,
                             memory_space=pltpu.VMEM)
     out_specs = pl.BlockSpec((frame_tile, MEL_PAD), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((frame_tile, MEL_PAD), jnp.float32)]
-
-    if mode == "bf16x3":
-        kernel = partial(_kernel_bf16x3, n_bin_tiles=n_bin_tiles,
-                         log_floor=cfg.log_floor)
-        inputs = (frames, jnp.asarray(wc_hi), jnp.asarray(wc_lo),
-                  jnp.asarray(ws_hi), jnp.asarray(ws_lo), jnp.asarray(mel_t))
-        in_specs = [frames_spec] + [basis_spec()] * 4 + [mel_spec]
-        scratch += [
-            pltpu.VMEM((frame_tile, n_fft), jnp.bfloat16),
-            pltpu.VMEM((frame_tile, n_fft), jnp.bfloat16),
-        ]
-        dft_passes = 3
-    elif mode == "exact":
-        kernel = partial(_kernel_exact, n_bin_tiles=n_bin_tiles,
-                         log_floor=cfg.log_floor)
-        inputs = (frames, jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(mel_t))
-        in_specs = [frames_spec, basis_spec(), basis_spec(), mel_spec]
-        dft_passes = 6
-    else:
-        raise ValueError(f"unknown pallas log-mel mode {mode!r}")
-
     out = pl.pallas_call(
-        kernel,
+        partial(_kernel_exact, n_bin_tiles=n_bin_tiles,
+                log_floor=cfg.log_floor),
         out_shape=jax.ShapeDtypeStruct((n_frame_tiles * frame_tile, MEL_PAD),
                                        jnp.float32),
         grid=(n_frame_tiles, n_bin_tiles),
-        in_specs=in_specs,
+        in_specs=[frames_spec, basis_spec(), basis_spec(), mel_spec],
         out_specs=out_specs,
-        scratch_shapes=scratch,
-        # On non-TPU backends (CPU test mesh) run the kernel interpreted so
-        # the same numerics are testable everywhere.
+        scratch_shapes=[pltpu.VMEM((frame_tile, MEL_PAD), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=jax.default_backend() != "tpu",
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_frames * n_fft * n_bins_pad * dft_passes
+            flops=2 * n_frames * n_fft * n_bins_pad * 6
             + 2 * n_frames * n_bins_pad * MEL_PAD,
             bytes_accessed=(n_frames * n_fft + 2 * n_fft * n_bins_pad) * 4,
             transcendentals=n_frames * cfg.n_mels,
         ),
-    )(*inputs)
+    )(frames, jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(mel_t))
     return out[:n_frames, : cfg.n_mels]
+
+
+def fused_log_mel_frames(frames: jnp.ndarray, cfg: FrontendConfig,
+                         mode: str = "bf16x3") -> jnp.ndarray:
+    """(n_frames, n_fft) frames -> (n_frames, n_mels) log mel energies."""
+    n_fft = frames.shape[1]
+    if mode == "bf16x3":
+        if n_fft % 4:
+            # DIF needs an even half-length; fall back to the exact grid.
+            return _fused_exact(frames, cfg)
+        return _fused_dif(frames, cfg)
+    if mode == "exact":
+        return _fused_exact(frames, cfg)
+    raise ValueError(f"unknown pallas log-mel mode {mode!r}")
 
 
 def fused_log_mel(y: jnp.ndarray, cfg: FrontendConfig, mode: str = "bf16x3") -> jnp.ndarray:
