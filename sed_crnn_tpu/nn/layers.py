@@ -14,6 +14,7 @@ convolution weights; the reference's NCHW torch models (`sed.py:82-112`,
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -135,7 +136,16 @@ class BatchNorm2d:
             new_state = state
 
         inv = jax.lax.rsqrt(var + self.eps) * params["scale"].astype(jnp.float32)
-        y = (x.astype(jnp.float32) - mean) * inv + params["bias"].astype(jnp.float32)
+        bias = params["bias"].astype(jnp.float32)
+        if x.dtype == jnp.float32:
+            y = (x - mean) * inv + bias
+        else:
+            # Reduced-precision trunk: normalize in the input dtype with the
+            # per-channel affine folded to inv/shift (the output is cast to
+            # x.dtype either way, so the f32 elementwise round-trip buys no
+            # accuracy — it only doubles residual bytes in the backward).
+            shift = bias - mean * inv
+            y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
         return y.astype(x.dtype), new_state
 
 
@@ -149,18 +159,82 @@ class Dropout:
         if ctx.rng is None:
             raise ValueError("Dropout in train mode requires ctx.rng")
         keep = 1.0 - self.rate
-        mask = jax.random.bernoulli(ctx.rng, keep, x.shape)
-        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        # Bernoulli by integer threshold on raw 16-bit random words rather
+        # than jax.random.bernoulli: the float path generates a u32 word per
+        # element, relayouts it, converts to f32 uniforms, compares, and
+        # divides — profiled at ~1.1 ms/step across the three v1 blocks. Raw
+        # u16 bits halve the RNG traffic and the compare/scale stay in the
+        # input dtype. Keep-probability granularity is 2^-16 (exact for the
+        # 0.5 presets; 6e-6 absolute for any other rate).
+        thresh = jnp.uint16(min(int(round(keep * 65536.0)), 65535))
+        bits = jax.random.bits(ctx.rng, x.shape, jnp.uint16)
+        inv_keep = jnp.asarray(1.0 / keep, x.dtype)
+        m = (bits < thresh).astype(x.dtype) * inv_keep
+        return x * m
 
 
 def max_pool2d(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
-    """Non-overlapping max pool over the (H, W) axes of NHWC input, as a
-    reshape + max (stride == window throughout this model family; torch
-    MaxPool2d floor-truncates ragged edges, reproduced by slicing)."""
+    """Non-overlapping max pool over the (H, W) axes of NHWC input
+    (stride == window throughout this model family; torch MaxPool2d
+    floor-truncates ragged edges, reproduced by slicing).
+
+    The ph == 1 case (every preset: the pooled axis is always W) folds the
+    W-axis pool groups into the LANE dimension — ``(W, C) -> (W/pw, pw*C)``
+    is a relabeling of contiguous memory, so the max is a chain of
+    lane-aligned compares. The naive ``reshape(..., pw, C)`` + ``max`` puts a
+    size-pw dim in the SUBLANE position, and its backward materializes the
+    eq-mask on that layout at 8x tile padding — measured 1.96 ms vs 0.16 ms
+    for this formulation at (128, 40, 64, 128) fwd+bwd on v5e.
+
+    The backward is a custom VJP routing the gradient to the FIRST maximal
+    element of each window (torch MaxPool2d convention). jnp.maximum's
+    default transpose splits ties via an eq/eq/divide chain — five extra
+    full-tensor passes, profiled inside the hot conv-dgrad fusion of the v1
+    train step; the argmax-select form removes them."""
     ph, pw = window
     if (ph, pw) == (1, 1):
         return x
     b, h, w, c = x.shape
     x = x[:, : (h // ph) * ph, : (w // pw) * pw, :]
+    if ph == 1:
+        r = x.reshape(b, h, w // pw, pw * c)
+        return _max_pool_lanes(r, pw)
     x = x.reshape(b, h // ph, ph, w // pw, pw, c)
     return x.max(axis=(2, 4))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_lanes(r: jnp.ndarray, pw: int) -> jnp.ndarray:
+    """Max over ``pw`` contiguous lane-groups: (..., pw*c) -> (..., c)."""
+    return _max_pool_lanes_fwd(r, pw)[0]
+
+
+def _max_pool_lanes_fwd(r, pw):
+    c = r.shape[-1] // pw
+    y = r[..., :c]
+    if pw == 2:
+        # one pred residual; strict > keeps the first window element on ties
+        other = r[..., c:]
+        second = other > y
+        return jnp.where(second, other, y), second
+    idx = jnp.zeros(y.shape, jnp.uint8)
+    for k in range(1, pw):
+        s = r[..., k * c : (k + 1) * c]
+        better = s > y
+        y = jnp.where(better, s, y)
+        idx = jnp.where(better, jnp.uint8(k), idx)
+    return y, idx
+
+
+def _max_pool_lanes_bwd(pw, res, g):
+    zero = jnp.zeros((), g.dtype)
+    if pw == 2:
+        second = res
+        parts = [jnp.where(second, zero, g), jnp.where(second, g, zero)]
+    else:
+        idx = res
+        parts = [jnp.where(idx == k, g, zero) for k in range(pw)]
+    return (jnp.concatenate(parts, axis=-1),)
+
+
+_max_pool_lanes.defvjp(_max_pool_lanes_fwd, _max_pool_lanes_bwd)
