@@ -159,15 +159,26 @@ class Dropout:
         if ctx.rng is None:
             raise ValueError("Dropout in train mode requires ctx.rng")
         keep = 1.0 - self.rate
-        # Bernoulli by integer threshold on raw 16-bit random words rather
-        # than jax.random.bernoulli: the float path generates a u32 word per
+        # Bernoulli by integer threshold on raw random words rather than
+        # jax.random.bernoulli: the float path generates a u32 word per
         # element, relayouts it, converts to f32 uniforms, compares, and
-        # divides — profiled at ~1.1 ms/step across the three v1 blocks. Raw
-        # u16 bits halve the RNG traffic and the compare/scale stay in the
-        # input dtype. Keep-probability granularity is 2^-16 (exact for the
-        # 0.5 presets; 6e-6 absolute for any other rate).
-        thresh = jnp.uint16(min(int(round(keep * 65536.0)), 65535))
-        bits = jax.random.bits(ctx.rng, x.shape, jnp.uint16)
+        # divides — profiled at ~1.1 ms/step across the three v1 blocks.
+        # 8-bit words when keep*256 is integral (the 0.5 presets), else
+        # 16-bit (granularity 2^-16, 6e-6 absolute for any rate); the
+        # compare/scale stay in the input dtype.
+        if abs(keep * 256.0 - round(keep * 256.0)) < 1e-9:
+            wdtype, scale_bits = jnp.uint8, 256.0
+        else:
+            wdtype, scale_bits = jnp.uint16, 65536.0
+        thresh = wdtype(min(int(round(keep * scale_bits)), int(scale_bits) - 1))
+        # Generate the words batch-minor and transpose back: XLA lays these
+        # activations out batch-minor on TPU, so the transpose folds into a
+        # bitcast and the rng output needs no relayout copy (profiled ~60 us
+        # per v1 step). If XLA picks another layout this is merely the same
+        # copy in a different place — random bits are layout-agnostic.
+        shp = x.shape[1:] + (x.shape[0],)
+        perm = (x.ndim - 1,) + tuple(range(x.ndim - 1))
+        bits = jnp.transpose(jax.random.bits(ctx.rng, shp, wdtype), perm)
         inv_keep = jnp.asarray(1.0 / keep, x.dtype)
         m = (bits < thresh).astype(x.dtype) * inv_keep
         return x * m
