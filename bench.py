@@ -106,24 +106,34 @@ def bench_tpu():
 
     n_steps = 200
 
-    def run_epoch(state, seed):
-        state, scores = trainer.train_epoch(state, jax.random.PRNGKey(seed), n_steps)
-        # force full materialization with ONE host fetch: the fused scalar
-        # depends on every step's loss and on the final optimizer update
-        # (separate float() fetches each pay a full ~33 ms tunnel roundtrip)
+    # Steady-state pipelined training, as run_fold dispatches it: epoch k+1
+    # is queued before epoch k's scores are read, so the chip never idles
+    # through host logic. Measured here as a chain of epochs with ONE host
+    # fetch at the end (each separate float() fetch would pay a full ~33 ms
+    # tunnel roundtrip that pipelining hides in real training).
+    chain = 3
+
+    def run_epochs(state, seed0):
+        scores = None
+        for r in range(chain):
+            state, scores = trainer.train_epoch(
+                state, jax.random.PRNGKey(seed0 + r), n_steps
+            )
+        # force full materialization: the fused scalar depends on every
+        # chained step's loss and on the final optimizer update
         _ = float(scores["loss"] + jnp.sum(state.params["head"][0]["b"]))
         return state
 
-    state = run_epoch(state, 1)  # compile + warm
+    state = run_epochs(state, 1)  # compile + warm
     times = []
     for r in range(3):
         t0 = time.perf_counter()
-        state = run_epoch(state, 2 + r)
+        state = run_epochs(state, 10 + chain * r)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times) / chain
     audio_per_epoch = n_steps * BATCH * WINDOW / FRAMES_PER_SEC
     train_rate = audio_per_epoch / dt
-    log(f"train: {n_steps} steps x {BATCH} windows in {dt*1e3:.1f} ms "
+    log(f"train: {chain}x {n_steps} steps x {BATCH} windows, {dt*1e3:.1f} ms/epoch "
         f"-> {train_rate:,.0f} audio-sec/sec")
 
     pipeline_rate = 1.0 / (1.0 / best_feat_rate + 1.0 / train_rate)

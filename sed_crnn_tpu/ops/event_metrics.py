@@ -2,10 +2,19 @@
 
 Complements the segment-based scorer (`ops/metrics.py`, the reference's only
 metric family) with the event-based F1/ER of Mesaros et al. 2016 named in
-BASELINE config 4: decoded events are matched per class by onset proximity
-(and optionally offset), unmatched references are deletions, unmatched system
-events insertions, and substitutions pair up leftover deletions/insertions
-that overlap in time across classes.
+BASELINE config 4, following sed_eval's evaluation semantics (the package the
+reference's `metrics.py:7` points at):
+
+* a system event is a true positive when a same-class reference event exists
+  with onset within ``t_collar`` (and, when ``offset_condition``, offset
+  within ``max(t_collar, offset_collar_frac * ref_duration)``);
+* the TP assignment is a MAXIMUM bipartite matching over all eligible
+  (ref, sys) pairs — not first/nearest greedy, which can undercount when
+  events crowd inside one collar;
+* substitutions pair an unmatched reference with an unmatched system event of
+  a DIFFERENT class that satisfies the same temporal conditions ("correct
+  temporal position, incorrect class label"), again maximally matched;
+* deletions/insertions are what remains; ER = (S + D + I) / N_ref.
 
 Event matching is irregular control flow, so it runs on host over decoded
 event lists — the heavy part (frame probabilities) stays on device; a full
@@ -35,41 +44,42 @@ def events_from_roll(
     return events
 
 
-def _match_events(
-    ref: Sequence[Event],
-    sys: Sequence[Event],
-    t_collar: float,
-    offset_condition: bool,
+def _temporal_hit(
+    r: Event, s: Event, t_collar: float, offset_condition: bool,
     offset_collar_frac: float,
-) -> Tuple[int, List[Event], List[Event]]:
-    """Greedy per-class onset matching (sed_eval-style). Returns
-    (n_matched, unmatched_ref, unmatched_sys)."""
-    matched = 0
-    un_ref: List[Event] = []
-    un_sys: List[Event] = list(sys)
-    for r_on, r_off, r_cls in sorted(ref):
-        best = None
-        for i, (s_on, s_off, s_cls) in enumerate(un_sys):
-            if s_cls != r_cls:
-                continue
-            if abs(s_on - r_on) > t_collar:
-                continue
-            if offset_condition:
-                off_collar = max(t_collar, offset_collar_frac * (r_off - r_on))
-                if abs(s_off - r_off) > off_collar:
-                    continue
-            if best is None or abs(s_on - r_on) < abs(un_sys[best][0] - r_on):
-                best = i
-        if best is None:
-            un_ref.append((r_on, r_off, r_cls))
-        else:
-            matched += 1
-            un_sys.pop(best)
-    return matched, un_ref, un_sys
+) -> bool:
+    """Collar conditions relative to the REFERENCE event (sed_eval's
+    validate_onset/validate_offset: offset collar stretches with the
+    reference duration)."""
+    if abs(s[0] - r[0]) > t_collar:
+        return False
+    if offset_condition:
+        off_collar = max(t_collar, offset_collar_frac * (r[1] - r[0]))
+        if abs(s[1] - r[1]) > off_collar:
+            return False
+    return True
 
 
-def _overlaps(a: Event, b: Event) -> bool:
-    return a[0] < b[1] and b[0] < a[1]
+def _max_bipartite(adj: List[List[int]], n_right: int) -> Tuple[int, List[int]]:
+    """Kuhn's augmenting-path maximum matching. ``adj[u]`` lists right nodes
+    eligible for left node ``u``; returns (size, right->left assignment)."""
+    match_r = [-1] * n_right
+
+    def augment(u: int, visited: set) -> bool:
+        for v in adj[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            if match_r[v] == -1 or augment(match_r[v], visited):
+                match_r[v] = u
+                return True
+        return False
+
+    size = 0
+    for u in range(len(adj)):
+        if augment(u, set()):
+            size += 1
+    return size, match_r
 
 
 def event_scores(
@@ -79,29 +89,35 @@ def event_scores(
     offset_condition: bool = False,
     offset_collar_frac: float = 0.5,
 ) -> Dict[str, float]:
-    """Event-based F1 and ER.
+    """Event-based F1 and ER (sed_eval semantics; see module docstring)."""
+    ref = list(ref_events)
+    sys = list(sys_events)
+    n_ref, n_sys = len(ref), len(sys)
 
-    TP: same-class system event with onset within ``t_collar`` of a reference
-    onset (offset within max(collar, frac x duration) too when
-    ``offset_condition``). Substitutions: a leftover deletion and insertion
-    of different classes that overlap in time count as one substitution
-    rather than one D + one I. ER = (S + D + I) / N_ref.
-    """
-    n_ref, n_sys = len(ref_events), len(sys_events)
-    tp, un_ref, un_sys = _match_events(
-        ref_events, sys_events, t_collar, offset_condition, offset_collar_frac
-    )
+    def hit(r: Event, s: Event) -> bool:
+        return _temporal_hit(r, s, t_collar, offset_condition, offset_collar_frac)
 
-    subs = 0
-    remaining_sys = list(un_sys)
-    for r in un_ref:
-        for i, s in enumerate(remaining_sys):
-            if s[2] != r[2] and _overlaps(r, s):
-                subs += 1
-                remaining_sys.pop(i)
-                break
+    adj = [[j for j, s in enumerate(sys) if s[2] == r[2] and hit(r, s)] for r in ref]
+    tp, match_r = _max_bipartite(adj, n_sys)
+
+    matched_ref = {u for u in match_r if u != -1}
+    un_ref = [i for i in range(n_ref) if i not in matched_ref]
+    un_sys = [j for j in range(n_sys) if match_r[j] == -1]
+
+    # Substitutions: maximum matching of leftover (ref, sys) pairs that meet
+    # the temporal conditions but carry different labels.
+    sub_adj = [
+        [
+            k
+            for k, j in enumerate(un_sys)
+            if sys[j][2] != ref[i][2] and hit(ref[i], sys[j])
+        ]
+        for i in un_ref
+    ]
+    subs, _ = _max_bipartite(sub_adj, len(un_sys))
+
     deletions = len(un_ref) - subs
-    insertions = len(remaining_sys)
+    insertions = len(un_sys) - subs
 
     eps = np.finfo(np.float64).eps
     prec = tp / (n_sys + eps)

@@ -173,6 +173,7 @@ def _epoch_program(
     n_steps_max: int,
     mode: str,
     dp,  # None | (Mesh, axis_name)
+    static_full: bool = False,
 ):
     """Build + jit one epoch program.
 
@@ -245,13 +246,17 @@ def _epoch_program(
 
     def scan_epoch(state, key, data, n_valid_steps):
         """Scan n_steps_max steps; steps >= n_valid_steps are skipped via
-        lax.cond (state passes through, outputs are zero rows)."""
+        lax.cond (state passes through, outputs are zero rows). When the
+        caller statically runs every step (``static_full``), the cond wrapper
+        is elided entirely — it costs real scheduling slack per step."""
         step_fn = train_step if mode == "train" else eval_step
         idx = jnp.arange(n_steps_max)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
         def body(st, inp):
             k, i = inp
+            if static_full:
+                return step_fn(st, k, data)
             return jax.lax.cond(
                 i < n_valid_steps,
                 lambda s: step_fn(s, k, data),
@@ -325,6 +330,8 @@ def _epoch_program(
 
     def sweep_scan(state, data, n_valid_steps):
         def body(carry, i):
+            if static_full:
+                return carry, sweep_step(state, i, data)
             out = jax.lax.cond(
                 i < n_valid_steps,
                 lambda _: sweep_step(state, i, data),
@@ -413,7 +420,8 @@ class Trainer:
     ):
         n_max = int(n_steps if n_steps_max is None else n_steps_max)
         fn = _epoch_program(
-            self.model, self.tcfg, self.train_sampler.spec, n_max, "train", self._dp()
+            self.model, self.tcfg, self.train_sampler.spec, n_max, "train",
+            self._dp(), n_steps_max is None,
         )
         return fn(state, key, self.train_sampler.data, jnp.int32(n_steps))
 
@@ -423,7 +431,8 @@ class Trainer:
     ):
         n_max = int(n_steps if n_steps_max is None else n_steps_max)
         fn = _epoch_program(
-            self.model, self.tcfg, self.val_sampler.spec, n_max, "eval", self._dp()
+            self.model, self.tcfg, self.val_sampler.spec, n_max, "eval",
+            self._dp(), n_steps_max is None,
         )
         return fn(state, key, self.val_sampler.data, jnp.int32(n_steps))
 
@@ -438,7 +447,8 @@ class Trainer:
             n_steps = self.val_sampler.sweep_steps(self.tcfg.batch_size)
         n_max = int(n_steps if n_steps_max is None else n_steps_max)
         fn = _epoch_program(
-            self.model, self.tcfg, self.val_sampler.spec, n_max, "sweep", self._dp()
+            self.model, self.tcfg, self.val_sampler.spec, n_max, "sweep",
+            self._dp(), n_steps_max is None,
         )
         return fn(state, self.val_sampler.data, jnp.int32(n_steps))
 
@@ -554,14 +564,12 @@ def run_fold(
     t_start = time.time()
     epochs_run = start_epoch - 1
 
-    for epoch in range(start_epoch, tcfg.max_epochs + 1):
-        t_ep = time.time()
-        key, k_tr, k_val = jax.random.split(key, 3)
-        state, tr_scores = trainer.train_epoch(state, k_tr, n_train_steps, n_tr_max)
-        if full_sweep:
-            val_scores = trainer.eval_sweep(state, n_sweep_steps, n_sweep_max)
-        else:
-            val_scores = trainer.eval_epoch(state, k_val, n_val_steps, n_val_max)
+    def finalize(pend) -> bool:
+        """Host-side half of one epoch: fetch scores, track/early-stop,
+        log, checkpoint, plot. Runs while the NEXT epoch executes on device
+        (pipelined mode). Returns True when early stop triggers."""
+        nonlocal best_er, best_f1, best_epoch, no_imp, epochs_run
+        epoch, t_ep, ep_state, tr_scores, val_scores, ep_plateau = pend
         tr = {k: float(v) for k, v in tr_scores.items()}
         val = {k: float(v) for k, v in val_scores.items()}
         epochs_run = epoch
@@ -570,17 +578,11 @@ def run_fold(
 
             guard_scores(tr, epoch, fold_id)
             guard_scores(val, epoch, fold_id)
-            assert_tree_finite(state.params, f"fold {fold_id} epoch {epoch} params")
+            assert_tree_finite(ep_state.params, f"fold {fold_id} epoch {epoch} params")
 
         for tr_key, val_key, src in _TRACK_KEYS:
             history[tr_key].append(tr[src])
             history[val_key].append(val[src])
-
-        if trainer.plateau:
-            plateau_state = trainer.plateau.step(plateau_state, val["loss"])
-            state = state._replace(
-                lr_scale=jnp.asarray(plateau_state.lr_scale, jnp.float32)
-            )
 
         val_er = val["er_overall_1sec"]
         improved = val_er < best_er
@@ -611,7 +613,7 @@ def run_fold(
                 "audio_hours_per_sec": round(audio_sec / 3600.0 / dt, 4),
                 "train": tr,
                 "val": val,
-                "lr_scale": float(state.lr_scale),
+                "lr_scale": float(ep_state.lr_scale),
             },
         )
 
@@ -625,17 +627,21 @@ def run_fold(
             "key_seed": seed + fold_id + epoch * 10007,
             "history": history,
         }
-        if plateau_state is not None:
-            meta["plateau"] = plateau_state._asdict()
+        if ep_plateau is not None:
+            meta["plateau"] = {
+                "best": float(ep_plateau.best),
+                "num_bad": int(ep_plateau.num_bad),
+                "lr_scale": float(ep_plateau.lr_scale),
+            }
         tree = {
-            "params": state.params,
-            "model_state": state.model_state,
+            "params": ep_state.params,
+            "model_state": ep_state.model_state,
             "opt_state": {
-                "step": state.opt_state.step,
-                "mu": state.opt_state.mu,
-                "nu": state.opt_state.nu,
+                "step": ep_state.opt_state.step,
+                "mu": ep_state.opt_state.mu,
+                "nu": ep_state.opt_state.nu,
             },
-            "lr_scale": state.lr_scale,
+            "lr_scale": ep_state.lr_scale,
         }
         if improved:
             ckpt_io.save_checkpoint(best_ckpt_path, tree, meta)
@@ -661,13 +667,47 @@ def run_fold(
                 epoch=epoch,
             )
 
-        stop = (
+        return (
             no_imp > tcfg.early_stop_patience
             if tcfg.early_stop_strict_greater
             else no_imp >= tcfg.early_stop_patience
         )
-        if stop:
-            break
+
+    # Pipelined dispatch: epoch k+1 is dispatched (train + val + device-side
+    # plateau) BEFORE epoch k's scores are fetched on the host, so the chip
+    # never idles through host logging/checkpointing — jax's async dispatch
+    # overlaps them. Semantics match the sequential loop exactly (same key
+    # stream, same plateau/early-stop decisions, same checkpoints); the only
+    # cost is one speculative epoch of device work when early stop fires,
+    # whose results are discarded unlogged. Debug mode stays sequential so
+    # guard failures point at the epoch that produced them.
+    pipeline = not debug
+    pending = None
+    for epoch in range(start_epoch, tcfg.max_epochs + 1):
+        t_ep = time.time()
+        key, k_tr, k_val = jax.random.split(key, 3)
+        state, tr_scores = trainer.train_epoch(state, k_tr, n_train_steps, n_tr_max)
+        if full_sweep:
+            val_scores = trainer.eval_sweep(state, n_sweep_steps, n_sweep_max)
+        else:
+            val_scores = trainer.eval_epoch(state, k_val, n_val_steps, n_val_max)
+        if trainer.plateau:
+            # Pure-jnp plateau step: stays on device, no host sync.
+            plateau_state = trainer.plateau.step(plateau_state, val_scores["loss"])
+            state = state._replace(
+                lr_scale=jnp.asarray(plateau_state.lr_scale, jnp.float32)
+            )
+        current = (epoch, t_ep, state, tr_scores, val_scores, plateau_state)
+        if pipeline:
+            if pending is not None and finalize(pending):
+                pending = None  # early stop: drop the speculative epoch
+                break
+            pending = current
+        else:
+            if finalize(current):
+                break
+    if pending is not None:
+        finalize(pending)
 
     if verbose:
         print(f"fold {fold_id} best ER={best_er:.3f} @ epoch={best_epoch}")

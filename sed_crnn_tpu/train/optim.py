@@ -96,7 +96,12 @@ class PlateauState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class ReduceLROnPlateau:
-    """Host-side epoch-level schedule (torch semantics, mode='min')."""
+    """Epoch-level schedule (torch semantics, mode='min').
+
+    ``step`` is pure jnp arithmetic so it composes with traced/device values:
+    the fold runner feeds it the val-loss scalar straight off the epoch
+    program without a host sync, which keeps the epoch-pipelining dispatch
+    chain fully asynchronous. Plain Python floats work too (tests, resume)."""
 
     factor: float = 0.5
     patience: int = 10
@@ -106,17 +111,15 @@ class ReduceLROnPlateau:
     def init(self) -> PlateauState:
         return PlateauState(best=float("inf"), num_bad=0, lr_scale=1.0)
 
-    def step(self, state: PlateauState, metric: float) -> PlateauState:
-        improved = metric < state.best * (1.0 - self.threshold) if state.best != float(
-            "inf"
-        ) else True
-        if improved:
-            return PlateauState(best=metric, num_bad=0, lr_scale=state.lr_scale)
-        num_bad = state.num_bad + 1
-        if num_bad > self.patience:
-            return PlateauState(
-                best=state.best,
-                num_bad=0,
-                lr_scale=max(state.lr_scale * self.factor, self.min_scale),
-            )
-        return PlateauState(best=state.best, num_bad=num_bad, lr_scale=state.lr_scale)
+    def step(self, state: PlateauState, metric) -> PlateauState:
+        metric = jnp.asarray(metric, jnp.float32)
+        best = jnp.asarray(state.best, jnp.float32)
+        num_bad = jnp.asarray(state.num_bad, jnp.int32)
+        lr = jnp.asarray(state.lr_scale, jnp.float32)
+        improved = metric < best * (1.0 - self.threshold)
+        drop = jnp.logical_and(~improved, num_bad + 1 > self.patience)
+        return PlateauState(
+            best=jnp.where(improved, metric, best),
+            num_bad=jnp.where(improved | drop, 0, num_bad + 1),
+            lr_scale=jnp.where(drop, jnp.maximum(lr * self.factor, self.min_scale), lr),
+        )

@@ -77,10 +77,10 @@ def test_run_experiment_compiles_once_across_folds(tmp_path, rng):
     model = get_model(cfg.model)
     ts, vs = make_samplers(cfg, folds[1], plan)
     fn_train = _epoch_program(
-        model, cfg.train, ts.spec, plan.n_train_steps_max, "train", None
+        model, cfg.train, ts.spec, plan.n_train_steps_max, "train", None, False
     )
     fn_eval = _epoch_program(
-        model, cfg.train, vs.spec, plan.n_val_steps_max, "eval", None
+        model, cfg.train, vs.spec, plan.n_val_steps_max, "eval", None, False
     )
     assert _epoch_program.cache_info().currsize == 2  # still: cache hits
     assert fn_train._cache_size() == 1
@@ -117,10 +117,10 @@ def test_shared_program_reads_each_folds_data(rng):
 
     # and both folds were served by the same program object + one compile
     fn1 = _epoch_program(
-        model, cfg.train, val1.spec, plan.n_sweep_steps_max, "sweep", None
+        model, cfg.train, val1.spec, plan.n_sweep_steps_max, "sweep", None, False
     )
     fn2 = _epoch_program(
-        model, cfg.train, val2.spec, plan.n_sweep_steps_max, "sweep", None
+        model, cfg.train, val2.spec, plan.n_sweep_steps_max, "sweep", None, False
     )
     assert fn1 is fn2
     assert fn1._cache_size() == 1

@@ -78,3 +78,132 @@ def test_events_from_roll_and_end_to_end():
     pred[45:64, 0] = 0.9  # onset shifted by 2 frames (~46 ms): still a match
     s = event_scores_from_rolls(pred, roll, hop)
     assert s["tp"] == 2 and s["er_event"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# sed_eval-semantics validation: brute-force optimal-matching oracle + goldens
+# ---------------------------------------------------------------------------
+
+
+def _hit(r, s, t_collar=0.2, offset_condition=False, frac=0.5):
+    if abs(s[0] - r[0]) > t_collar:
+        return False
+    if offset_condition:
+        if abs(s[1] - r[1]) > max(t_collar, frac * (r[1] - r[0])):
+            return False
+    return True
+
+
+def _brute_scores(ref, sys, **kw):
+    """Exhaustive oracle: enumerate every injective TP assignment, keep the
+    maximum; over all maximum assignments, collect the achievable
+    substitution counts (max-matched among leftovers). Independent of the
+    package's Kuhn matcher — validates both matching stages."""
+    n_ref, n_sys = len(ref), len(sys)
+
+    def assignments(i, used):
+        if i == n_ref:
+            yield used
+            return
+        yield from assignments(i + 1, used)  # ref i unmatched
+        for j in range(n_sys):
+            if j not in used and sys[j][2] == ref[i][2] and _hit(ref[i], sys[j], **kw):
+                yield from assignments(i + 1, {**used, j: i})
+
+    best_tp, options = 0, []
+    for used in assignments(0, {}):
+        tp = len(used)
+        if tp > best_tp:
+            best_tp, options = tp, []
+        if tp == best_tp:
+            options.append(used)
+
+    subs_values = set()
+    for used in options:
+        un_ref = [i for i in range(n_ref) if i not in used.values()]
+        un_sys = [j for j in range(n_sys) if j not in used]
+
+        def sub_assign(k, taken):
+            if k == len(un_ref):
+                yield len(taken)
+                return
+            yield from sub_assign(k + 1, taken)
+            i = un_ref[k]
+            for j in un_sys:
+                if j not in taken and sys[j][2] != ref[i][2] and _hit(ref[i], sys[j], **kw):
+                    yield from sub_assign(k + 1, taken | {j})
+
+        subs_values.add(max(sub_assign(0, set())))
+    return best_tp, subs_values
+
+
+def test_crowded_collar_needs_maximum_matching():
+    """Nearest-onset greedy undercounts here: R1 would steal S2 (nearest),
+    leaving R2 (whose only eligible partner is S2) unmatched. The maximum
+    bipartite matching pairs R1-S1, R2-S2 for a perfect score."""
+    ref = [(1.0, 2.0, 0), (1.19, 2.2, 0)]
+    sys = [(0.85, 2.0, 0), (1.02, 2.2, 0)]  # S1 only fits R1; S2 fits both
+    s = event_scores(ref, sys)
+    assert s["tp"] == 2
+    assert s["er_event"] == 0.0 and s["f1_event"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_substitution_requires_collar_not_overlap():
+    """sed_eval substitutions demand the TEMPORAL conditions (onset collar),
+    not mere time overlap: a wrong-class event overlapping the reference but
+    onset-shifted 0.9 s is a deletion + insertion, not a substitution."""
+    s = event_scores([(1.0, 3.0, 0)], [(1.9, 3.1, 1)])
+    assert s["substitutions"] == 0
+    assert s["deletions"] == 1 and s["insertions"] == 1
+    assert s["er_event"] == 2.0
+
+
+def test_golden_multiclass_worked_example():
+    """Hand-computed: TP = {A, B}; the class-2 system event onsets 0.05 s from
+    C (within the 0.2 s collar, different class) -> substitution; the last
+    system event matches nothing -> insertion.
+    ER = (S + D + I)/N = (1 + 0 + 1)/3; P = 2/4, R = 2/3, F1 = 4/7."""
+    ref = [(1.0, 2.0, 0), (4.0, 5.0, 1), (7.0, 8.0, 0)]
+    sys = [(1.1, 2.05, 0), (4.05, 5.2, 1), (7.05, 7.9, 2), (10.0, 11.0, 0)]
+    s = event_scores(ref, sys)
+    assert (s["tp"], s["substitutions"], s["deletions"], s["insertions"]) == (2, 1, 0, 1)
+    assert s["er_event"] == pytest.approx(2.0 / 3.0, abs=1e-12)
+    assert s["precision"] == pytest.approx(0.5, abs=1e-12)
+    assert s["recall"] == pytest.approx(2.0 / 3.0, abs=1e-12)
+    assert s["f1_event"] == pytest.approx(4.0 / 7.0, abs=1e-9)
+
+
+def test_golden_offset_collar_stretch():
+    """offset_condition: collar = max(t_collar, 0.5 * ref_duration).
+    ref duration 4 s -> offset collar 2 s: offset error 1.9 s passes,
+    2.1 s fails (becomes an insertion and the ref a deletion)."""
+    ref = [(1.0, 5.0, 0)]
+    assert event_scores(ref, [(1.1, 6.9, 0)], offset_condition=True)["tp"] == 1
+    s = event_scores(ref, [(1.1, 7.1, 0)], offset_condition=True)
+    assert s["tp"] == 0 and s["deletions"] == 1 and s["insertions"] == 1
+
+
+def test_cross_validation_against_bruteforce_oracle():
+    """Randomized small scenes: the package's two-stage Kuhn matching must
+    reach the brute-force maximum TP, and report an achievable substitution
+    count for SOME maximum TP assignment (sed_eval picks one arbitrarily)."""
+    rng = np.random.default_rng(7)
+    for case in range(200):
+        n_ref = int(rng.integers(0, 5))
+        n_sys = int(rng.integers(0, 5))
+        offset_condition = bool(rng.integers(0, 2))
+
+        def mk(n):
+            out = []
+            for _ in range(n):
+                on = float(rng.uniform(0, 3))
+                out.append((on, on + float(rng.uniform(0.1, 1.5)), int(rng.integers(0, 2))))
+            return out
+
+        ref, sys = mk(n_ref), mk(n_sys)
+        s = event_scores(ref, sys, offset_condition=offset_condition)
+        tp_star, subs_set = _brute_scores(ref, sys, offset_condition=offset_condition)
+        assert s["tp"] == tp_star, (case, ref, sys)
+        assert s["substitutions"] in subs_set, (case, ref, sys, s, subs_set)
+        assert s["deletions"] == n_ref - s["tp"] - s["substitutions"]
+        assert s["insertions"] == n_sys - s["tp"] - s["substitutions"]
