@@ -2,6 +2,7 @@
 reference architectures (`sed.py:82-112` v1, `crnn_lightning.py:41-73` v2),
 weights transplanted, eval mode."""
 
+import pytest
 import numpy as np
 import torch
 from torch import nn
@@ -11,6 +12,7 @@ import jax.numpy as jnp
 
 from sed_crnn_tpu.core.config import get_preset
 from sed_crnn_tpu.models import count_params, get_model
+from sed_crnn_tpu.models.transplant import params_from_torch_state_dict
 from sed_crnn_tpu.nn.layers import Ctx
 
 
@@ -64,53 +66,8 @@ class TorchV2(nn.Module):
         return self.d2(torch.relu(self.d1(x)))
 
 
-def _np(t):
-    return t.detach().numpy()
-
-
-def _gru_dir(tg, layer, reverse):
-    sfx = f"_l{layer}" + ("_reverse" if reverse else "")
-    return {
-        "wi": jnp.asarray(_np(getattr(tg, f"weight_ih{sfx}")).T),
-        "wh": jnp.asarray(_np(getattr(tg, f"weight_hh{sfx}")).T),
-        "bi": jnp.asarray(_np(getattr(tg, f"bias_ih{sfx}"))),
-        "bh": jnp.asarray(_np(getattr(tg, f"bias_hh{sfx}"))),
-    }
-
-
-def _transplant(tmodel, grus):
-    """Map torch weights into CRNN param/state pytrees. ``grus`` is a list of
-    (torch_gru_module, torch_layer_index) per BiGRU."""
-    params = {"conv": [], "bn": [], "gru": [], "head": []}
-    state = {"bn": []}
-    for conv, bn in zip(tmodel.convs, tmodel.bns):
-        params["conv"].append(
-            {
-                "w": jnp.asarray(_np(conv.weight).transpose(2, 3, 1, 0)),
-                "b": jnp.asarray(_np(conv.bias)),
-            }
-        )
-        params["bn"].append(
-            {"scale": jnp.asarray(_np(bn.weight)), "bias": jnp.asarray(_np(bn.bias))}
-        )
-        state["bn"].append(
-            {
-                "mean": jnp.asarray(_np(bn.running_mean)),
-                "var": jnp.asarray(_np(bn.running_var)),
-            }
-        )
-    for tg, layer in grus:
-        params["gru"].append(
-            {"fwd": _gru_dir(tg, layer, False), "bwd": _gru_dir(tg, layer, True)}
-        )
-    return params, state
-
-
-def _head_params(linears):
-    return [
-        {"w": jnp.asarray(_np(l.weight).T), "b": jnp.asarray(_np(l.bias))}
-        for l in linears
-    ]
+# Weight mapping lives in the package (`models/transplant.py`); these tests
+# pin its numerical parity by feeding real torch state_dicts through it.
 
 
 def _prime_bn_stats(tmodel, rng):
@@ -128,8 +85,7 @@ def test_v1_parity(rng):
     _prime_bn_stats(tm, rng)
 
     model = get_model("timepooled-v1")
-    params, state = _transplant(tm, [(tm.gru, 0), (tm.gru, 1)])
-    params["head"] = _head_params([tm.fc])
+    params, state = params_from_torch_state_dict(model.cfg, tm.state_dict())
 
     x = rng.standard_normal((5, 64, 40)).astype(np.float32)  # (B, T, F)
     with torch.no_grad():
@@ -151,8 +107,7 @@ def test_v2_parity(rng):
     # bfloat16 trunk, mirroring the reference's 'medium' matmul precision)
     cfg = get_preset("timepooled-v2").model
     model = get_model(dataclasses.replace(cfg, compute_dtype="float32"))
-    params, state = _transplant(tm, [(tm.gru1, 0), (tm.gru2, 0)])
-    params["head"] = _head_params([tm.d1, tm.d2])
+    params, state = params_from_torch_state_dict(model.cfg, tm.state_dict())
 
     x = rng.standard_normal((3, 64, 40)).astype(np.float32)
     with torch.no_grad():
@@ -208,3 +163,46 @@ def test_streaming_carry_changes_output():
     assert len(carry) == 2
     logits2, _, _ = model.apply(params, state, x, Ctx(train=False), rnn_carry=carry)
     assert logits2.shape == (1, 8, 1)
+
+
+def test_import_torch_checkpoint_app(tmp_path, rng):
+    """Full migration path: Lightning-style .ckpt on disk -> import CLI ->
+    framework npz -> identical forward outputs."""
+    import dataclasses
+
+    from sed_crnn_tpu.apps.import_torch import import_checkpoint
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+
+    torch.manual_seed(3)
+    tm = TorchV2()
+    _prime_bn_stats(tm, rng)
+    ckpt = tmp_path / "lightning.ckpt"
+    # Lightning wraps the state_dict and prefixes module names with "model."
+    torch.save(
+        {"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}},
+        ckpt,
+    )
+
+    out = import_checkpoint(str(ckpt), "timepooled-v2", str(tmp_path / "imported.npz"))
+    tree, meta = ckpt_io.load_checkpoint(out)
+    assert meta["preset"] == "timepooled-v2" and meta["epoch"] == 0
+
+    cfg = dataclasses.replace(get_preset("timepooled-v2").model, compute_dtype="float32")
+    model = get_model(cfg)
+    x = rng.standard_normal((3, 64, 40)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 2, 1)[:, None])).numpy()
+    logits, _, _ = model.apply(
+        tree["params"], tree["model_state"], jnp.asarray(x), Ctx(train=False)
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4)
+
+
+def test_import_rejects_mismatched_preset(rng):
+    """A v2 checkpoint against the v1 config must fail loudly, not garble."""
+    torch.manual_seed(4)
+    tm = TorchV2()
+    with pytest.raises(ValueError):
+        params_from_torch_state_dict(
+            get_model("timepooled-v1").cfg, tm.state_dict()
+        )
