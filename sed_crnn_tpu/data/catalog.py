@@ -14,7 +14,7 @@ import dataclasses
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from sed_crnn_tpu.data.wavio import probe_duration
+from sed_crnn_tpu.data.wavio import probe_media_meta
 
 MEDIA_EXTENSIONS = (".mp4", ".MP4", ".avi", ".mkv", ".wav", ".WAV", ".flac")
 
@@ -27,6 +27,12 @@ class VideoEntry:
     assignments: List[Dict[str, str]]        # auxiliary per-hit rows
     fold_id: int = -1
     duration_s: Optional[float] = None
+    # video-stream metadata the reference's OpenCV probe collected
+    # (`decorte_data_loader.py:86-99`); None for audio-only media
+    fps: Optional[float] = None
+    n_frames: Optional[int] = None
+    width: Optional[int] = None
+    height: Optional[int] = None
 
 
 class CatalogError(ValueError):
@@ -98,12 +104,17 @@ def load_event_catalog(
             continue
         stem = os.path.splitext(fname)[0]
         path = os.path.join(media_dir, fname)
+        meta = probe_media_meta(path) if probe_media else {}
         catalog[fname] = VideoEntry(
             name=fname,
             path=path,
             events=hits_by_video.get(fname, []),
             assignments=assigns_by_video.get(stem, []),
-            duration_s=probe_duration(path) if probe_media else None,
+            duration_s=meta.get("duration_s"),
+            fps=meta.get("fps"),
+            n_frames=meta.get("n_frames"),
+            width=meta.get("width"),
+            height=meta.get("height"),
         )
 
     missing = [v for v, e in catalog.items() if not e.events]

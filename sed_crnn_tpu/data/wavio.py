@@ -161,3 +161,47 @@ def probe_duration(path: str) -> Optional[float]:
         return float(out.strip())
     except (subprocess.CalledProcessError, ValueError):
         return None
+
+
+def probe_media_meta(path: str) -> dict:
+    """Video-stream metadata via ffprobe — the full set the reference's
+    OpenCV probe collected (`decorte_data_loader.py:86-99`): fps, frame
+    count, width, height, plus duration. Missing/unprobeable fields are
+    None (e.g. audio-only files have no video stream)."""
+    meta = {"fps": None, "n_frames": None, "width": None, "height": None,
+            "duration_s": probe_duration(path)}
+    if shutil.which("ffprobe") is None:
+        return meta
+    try:
+        out = subprocess.check_output(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v:0",
+                "-show_entries",
+                "stream=avg_frame_rate,nb_frames,width,height",
+                "-of", "default=noprint_wrappers=1", path,
+            ]
+        ).decode()
+    except subprocess.CalledProcessError:
+        return meta
+    for line in out.splitlines():
+        key, _, val = line.partition("=")
+        val = val.strip()
+        if not val or val in ("N/A", "0/0"):
+            continue
+        if key == "avg_frame_rate":
+            num, _, den = val.partition("/")
+            try:
+                meta["fps"] = float(num) / float(den) if den else float(num)
+            except (ValueError, ZeroDivisionError):
+                pass
+        elif key == "nb_frames":
+            try:
+                meta["n_frames"] = int(val)
+            except ValueError:
+                pass
+        elif key in ("width", "height"):
+            try:
+                meta[key] = int(val)
+            except ValueError:
+                pass
+    return meta

@@ -211,3 +211,16 @@ def test_augmented_sampler_runs(rng):
     s = BalancedWindowSampler(mel, lab, augment=True)
     x, y = s.sample_batch_jit(jax.random.PRNGKey(0), 16)
     assert (np.asarray(x) == 0).sum() > 0  # stripes zeroed
+
+
+def test_probe_media_meta_shape_and_fallback(tmp_path):
+    """probe_media_meta returns the full OpenCV-parity field set; with no
+    ffprobe (this image) or an unprobeable file, every field is None rather
+    than raising."""
+    from sed_crnn_tpu.data.wavio import probe_media_meta
+
+    p = tmp_path / "x.mp4"
+    p.write_bytes(b"not a real video")
+    meta = probe_media_meta(str(p))
+    assert set(meta) == {"fps", "n_frames", "width", "height", "duration_s"}
+    assert all(v is None or isinstance(v, (int, float)) for v in meta.values())
