@@ -32,6 +32,14 @@ Default ``bf16x3`` mode — a radix-2 **decimation-in-frequency** real DFT:
     for the direct bf16x3 kernel, 3.3 ms for the XLA matmul backend, and
     4.6 ms for the XLA rfft backend.
 
+    With the standard 50% overlap (hop == n_fft/2, every preset) the kernel
+    additionally skips frame materialization entirely: frame halves ARE
+    consecutive hop-sized waveform chunks, so each grid step DMAs its
+    (frame_tile+8)-row window straight from the HBM-resident chunked
+    waveform. One pass over the raw audio instead of three over a 2x-blown-up
+    frame matrix: 1.01 ms / 240 s (237k audio-sec/sec), bit-identical to the
+    framed path.
+
 ``exact`` mode keeps the direct (non-factorized) windowed DFT with f32
 HIGHEST (six-pass) dots, bit-matching the XLA ``backend="matmul"`` path;
 it streams basis bin-tiles with a VMEM accumulator. ``bf16x3`` falls back
@@ -131,12 +139,9 @@ def _dif_operands(sr: int, n_fft: int, n_mels: int, fmin: float, fmax):
     return be, bo, wa, wb, me, mo, n_even_pad, n_odd
 
 
-def _kernel_dif(fr_ref, wa_ref, wb_ref, be_hi_ref, be_lo_ref, bo_hi_ref,
-                bo_lo_ref, me_hi_ref, me_lo_ref, mo_hi_ref, mo_lo_ref,
-                out_ref, *, M, n_even_pad, n_odd, log_floor):
-    fr = fr_ref[:]
-    ya = wa_ref[:] * fr[:, :M]
-    yb = wb_ref[:] * fr[:, M:]
+def _dif_body(ya, yb, be_hi_ref, be_lo_ref, bo_hi_ref, bo_lo_ref,
+              me_hi_ref, me_lo_ref, mo_hi_ref, mo_lo_ref,
+              out_ref, n_even_pad, n_odd, log_floor):
     s_hi, s_lo = _split_pair(ya + yb)
     d_hi, d_lo = _split_pair(ya - yb)
     E = _dot3(s_hi, s_lo, be_hi_ref, be_lo_ref)   # [E_re | E_im]
@@ -152,6 +157,40 @@ def _kernel_dif(fr_ref, wa_ref, wb_ref, be_hi_ref, be_lo_ref, bo_hi_ref,
     if log_floor is not None:
         mel = jnp.maximum(mel, log_floor)
     out_ref[:] = jnp.log(mel)
+
+
+def _kernel_dif(fr_ref, wa_ref, wb_ref, be_hi_ref, be_lo_ref, bo_hi_ref,
+                bo_lo_ref, me_hi_ref, me_lo_ref, mo_hi_ref, mo_lo_ref,
+                out_ref, *, M, n_even_pad, n_odd, log_floor):
+    fr = fr_ref[:]
+    ya = wa_ref[:] * fr[:, :M]
+    yb = wb_ref[:] * fr[:, M:]
+    _dif_body(ya, yb, be_hi_ref, be_lo_ref, bo_hi_ref, bo_lo_ref,
+              me_hi_ref, me_lo_ref, mo_hi_ref, mo_lo_ref,
+              out_ref, n_even_pad, n_odd, log_floor)
+
+
+def _kernel_dif_chunked(chunks_hbm_ref, wa_ref, wb_ref, be_hi_ref, be_lo_ref,
+                        bo_hi_ref, bo_lo_ref, me_hi_ref, me_lo_ref,
+                        mo_hi_ref, mo_lo_ref, out_ref, scratch_ref, sem,
+                        *, M, n_even_pad, n_odd, log_floor, frame_tile):
+    """50%-overlap fast path: with hop == n_fft/2, frame t's two halves are
+    waveform chunks t and t+1 — so the kernel DMAs (frame_tile+8) contiguous
+    hop-sized rows straight from the HBM-resident chunked waveform and never
+    touches a materialized (n_frames, n_fft) array (an 84 MB round-trip per
+    240 s call in the framed path)."""
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        chunks_hbm_ref.at[pl.ds(i * frame_tile, frame_tile + 8)],
+        scratch_ref, sem,
+    )  # +8 rows, not +1: HBM DMA slices must be 8-row aligned
+    dma.start()
+    dma.wait()
+    ya = wa_ref[:] * scratch_ref[:frame_tile, :]
+    yb = wb_ref[:] * scratch_ref[1 : frame_tile + 1, :]
+    _dif_body(ya, yb, be_hi_ref, be_lo_ref, bo_hi_ref, bo_lo_ref,
+              me_hi_ref, me_lo_ref, mo_hi_ref, mo_lo_ref,
+              out_ref, n_even_pad, n_odd, log_floor)
 
 
 def _fused_dif(frames: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
@@ -290,6 +329,75 @@ def _fused_exact(frames: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     return out[:n_frames, : cfg.n_mels]
 
 
+def _fused_dif_chunked(y: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """hop == n_fft/2 fast path: chunk the (padded) waveform into hop-sized
+    rows and let the kernel DMA its overlapping row window from HBM. Padding
+    reproduces `frame_signal` exactly (center: reflect by n_fft//2), built as
+    ONE concatenation so the waveform is materialized once."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    M = n_fft // 2
+    L = y.shape[0]
+    y = y.astype(jnp.float32)
+    if cfg.center:
+        n_frames = 1 + L // hop
+        left = y[1 : M + 1][::-1]
+        right = y[-M - 1 : -1][::-1]
+        segments = [left, y, right]
+        total = L + 2 * M
+    else:
+        if L < n_fft:
+            raise ValueError(f"signal length {L} < n_fft {n_fft}")
+        n_frames = 1 + (L - n_fft) // hop
+        segments = [y]
+        total = L
+    frame_tile = FRAME_TILE_DIF
+    n_tiles = -(-n_frames // frame_tile)
+    target = (n_tiles * frame_tile + 8) * hop
+    if target > total:
+        segments.append(jnp.zeros((target - total,), jnp.float32))
+    chunks = jnp.concatenate(segments)[:target].reshape(-1, hop)
+
+    be, bo, wa, wb, me, mo, n_even_pad, n_odd = _dif_operands(
+        cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
+    )
+
+    def whole(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    args = [jnp.asarray(wa), jnp.asarray(wb)]
+    for arr in (be, bo, me, mo):
+        hi, lo = _split_bf16(arr)
+        args += [jnp.asarray(hi), jnp.asarray(lo)]
+    out = pl.pallas_call(
+        partial(_kernel_dif_chunked, M=M, n_even_pad=n_even_pad, n_odd=n_odd,
+                log_floor=cfg.log_floor, frame_tile=frame_tile),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * frame_tile, MEL_PAD),
+                                       jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [whole(a) for a in args],
+        out_specs=pl.BlockSpec((frame_tile, MEL_PAD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((frame_tile + 8, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=jax.default_backend() != "tpu",
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_frames * M * (2 * n_even_pad + 2 * n_odd) * 3
+            + 2 * n_frames * (n_even_pad + n_odd) * MEL_PAD * 3,
+            bytes_accessed=n_frames * hop * 4,
+            transcendentals=n_frames * cfg.n_mels,
+        ),
+    )(chunks, *args)
+    return out[:n_frames, : cfg.n_mels]
+
+
 def fused_log_mel_frames(frames: jnp.ndarray, cfg: FrontendConfig,
                          mode: str = "bf16x3") -> jnp.ndarray:
     """(n_frames, n_fft) frames -> (n_frames, n_mels) log mel energies."""
@@ -306,5 +414,8 @@ def fused_log_mel_frames(frames: jnp.ndarray, cfg: FrontendConfig,
 
 def fused_log_mel(y: jnp.ndarray, cfg: FrontendConfig, mode: str = "bf16x3") -> jnp.ndarray:
     """1-D waveform -> (n_frames, n_mels) log mel-band energies."""
+    if (mode == "bf16x3" and cfg.hop_length * 2 == cfg.n_fft
+            and cfg.n_fft % 4 == 0 and y.shape[0] >= cfg.n_fft):
+        return _fused_dif_chunked(y, cfg)
     frames = frame_signal(y, cfg.n_fft, cfg.hop_length, center=cfg.center)
     return fused_log_mel_frames(frames.astype(jnp.float32), cfg, mode)

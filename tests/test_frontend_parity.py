@@ -171,3 +171,27 @@ def test_log_floor_guards_silence():
     # parity mode reproduces the reference's -inf on silence
     out_parity = frontend.extract(y, FrontendConfig())
     assert np.isneginf(out_parity).all()
+
+
+def test_pallas_chunked_matches_framed_path():
+    """The hop == n_fft/2 chunked-DMA fast path must be bit-identical to the
+    framed DIF kernel (same windows, same samples, same GEMMs) for even and
+    ragged signal lengths."""
+    import jax.numpy as jnp
+
+    from sed_crnn_tpu.core.config import FrontendConfig
+    from sed_crnn_tpu.ops.pallas.fused_logmel import (
+        frame_signal,
+        fused_log_mel,
+        fused_log_mel_frames,
+    )
+
+    cfg = FrontendConfig()
+    rng = np.random.default_rng(11)
+    for n in (44100, 44100 * 2 + 777, 2048):
+        y = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.3)
+        fast = fused_log_mel(y, cfg)
+        frames = frame_signal(y, cfg.n_fft, cfg.hop_length, center=cfg.center)
+        ref = fused_log_mel_frames(frames.astype(jnp.float32), cfg)
+        assert fast.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
