@@ -61,6 +61,10 @@ def bench_tpu():
     # ---- frontend throughput: audio-seconds featurized per second --------
     audio_sec = 240.0
     reps_on_device = 100  # amortize the ~33 ms tunnel RTT well below the ms-scale kernel time
+    # Per-rep multiplicative perturbation defeats loop-invariant hoisting;
+    # it fuses into the frontend's first pass over the waveform, so it is
+    # effectively free (cycling resident waveforms by dynamic index measured
+    # SLOWER — the row gather cannot fuse).
     wav = jnp.asarray(_tone(audio_sec))
     best_feat_rate = 0.0
     for backend in ("fft", "matmul", "pallas"):
