@@ -22,19 +22,31 @@ from sed_crnn_tpu.data import store
 from sed_crnn_tpu.train import loop as train_loop
 
 
-def synthetic_folds(k: int = 2, frames: int = 8000, seed: int = 0):
+def synthetic_folds(k: int = 2, frames: int = 8000, seed: int = 0,
+                    n_classes: int = 1, n_mels: int = 40,
+                    in_channels: int = 1):
+    """Planted-signature folds matching a preset's label width: each class
+    paints its own mel band so the model has something learnable. Binaural
+    presets get channel-stacked features (the fold-pack layout,
+    `data/seqs.py::split_multi_channels` contract)."""
     from sed_crnn_tpu.data.rasterize import rasterize_events
 
     rng = np.random.default_rng(seed)
+    band = max(2, n_mels // max(n_classes, 1) // 2)
 
     def split(n):
-        mel = rng.standard_normal((n, 40)).astype(np.float32)
-        events, t = [], 2.0
+        mel = rng.standard_normal((n, n_mels * in_channels)).astype(np.float32)
+        events, cls_ids, t = [], [], 2.0
         while t * 43 < n - 100:
             events.append((t, t + rng.uniform(0.2, 0.5)))
+            cls_ids.append(int(rng.integers(0, n_classes)))
             t += rng.uniform(2.0, 4.0)
-        lab = rasterize_events(events, n, 44100, 1024)
-        mel[lab[:, 0] == 1, 8:16] += 4.0
+        lab = rasterize_events(events, n, 44100, 1024, n_classes, cls_ids)
+        for c in range(n_classes):
+            lo = (c * band) % max(n_mels - band, 1)
+            for ch in range(in_channels):
+                off = ch * n_mels
+                mel[lab[:, c] == 1, off + lo : off + lo + band] += 4.0
         return mel, lab
 
     folds = {}
@@ -91,8 +103,20 @@ def main(argv=None):
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
 
     if args.synthetic:
-        folds = {f: fd for f, fd in synthetic_folds(max(args.folds)).items()
-                 if f in args.folds}
+        # enough frames that even the sequence sampler fills one batch of
+        # seq_len_in windows per epoch (sednet: 128 x 256-frame sequences)
+        min_frames = int(cfg.train.batch_size * cfg.model.seq_len_in * 1.3)
+        folds = {
+            f: fd
+            for f, fd in synthetic_folds(
+                max(args.folds),
+                frames=max(8000, min_frames),
+                n_classes=cfg.model.n_classes,
+                n_mels=cfg.model.n_mels,
+                in_channels=cfg.model.in_channels,
+            ).items()
+            if f in args.folds
+        }
     else:
         if not args.cache_dir:
             p.error("--cache-dir required unless --synthetic")
