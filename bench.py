@@ -159,13 +159,20 @@ def bench_cpu_reference():
     from sed_crnn_tpu.ops.mel import mel_filterbank
 
     fb = mel_filterbank(44100, n_fft, 40, dtype=np.float64)
-    t0 = time.perf_counter()
-    ypad = np.pad(y, n_fft // 2, mode="reflect")
-    n_frames = 1 + (len(ypad) - n_fft) // hop
-    frames = np.lib.stride_tricks.sliding_window_view(ypad, n_fft)[::hop][:n_frames]
-    spec = np.abs(scipy.fft.rfft(frames * win, axis=1)) ** 2
-    _ = np.log(spec @ fb.T)
-    feat_dt = time.perf_counter() - t0
+
+    def cpu_frontend_once():
+        t0 = time.perf_counter()
+        ypad = np.pad(y, n_fft // 2, mode="reflect")
+        n_frames = 1 + (len(ypad) - n_fft) // hop
+        frames = np.lib.stride_tricks.sliding_window_view(ypad, n_fft)[::hop][:n_frames]
+        spec = np.abs(scipy.fft.rfft(frames * win, axis=1)) ** 2
+        _ = np.log(spec @ fb.T)
+        return time.perf_counter() - t0
+
+    # warm scipy's FFT plan/caches, then take the median of 5 (single-core
+    # host timing swings ~30% with load; one sample made vs_baseline noisy)
+    cpu_frontend_once()
+    feat_dt = float(np.median([cpu_frontend_once() for _ in range(5)]))
     feat_rate = audio_sec / feat_dt
     log(f"cpu frontend: {feat_dt*1e3:.1f} ms / {audio_sec:.0f}s -> {feat_rate:,.0f} audio-sec/sec")
 
@@ -188,7 +195,7 @@ def bench_cpu_reference():
     x = torch.randn(b, 1, 40, WINDOW)
     yt = (torch.rand(b, 8, 1) > 0.5).float()
     times = []
-    for _ in range(2):
+    for _ in range(5):
         t0 = time.perf_counter()
         opt.zero_grad()
         h = trunk(x).permute(0, 3, 1, 2).reshape(b, 8, -1)
@@ -197,7 +204,7 @@ def bench_cpu_reference():
         loss.backward()
         opt.step()
         times.append(time.perf_counter() - t0)
-    step_dt = min(times)
+    step_dt = float(np.median(times[1:]))  # drop the warmup rep, median of 4
     train_rate = b * WINDOW / FRAMES_PER_SEC / step_dt
     log(f"cpu train: {step_dt*1e3:.1f} ms / {b} windows -> {train_rate:,.0f} audio-sec/sec")
 
