@@ -54,7 +54,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--torch-ckpt", required=True, help=".pt/.ckpt file")
     ap.add_argument("--preset", default="timepooled-v2",
-                    help="timepooled-v1 | timepooled-v2 | sednet-dcase[-binaural]")
+                    help="timepooled-v1 | timepooled-v2 (sednet presets use "
+                         "the keras GRU cell; torch weights cannot map onto them)")
     ap.add_argument("--out", required=True, help="output .npz checkpoint path")
     args = ap.parse_args(argv)
     path = import_checkpoint(args.torch_ckpt, args.preset, args.out)

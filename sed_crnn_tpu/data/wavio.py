@@ -164,12 +164,12 @@ def probe_duration(path: str) -> Optional[float]:
 
 
 def probe_media_meta(path: str) -> dict:
-    """Video-stream metadata via ffprobe — the full set the reference's
-    OpenCV probe collected (`decorte_data_loader.py:86-99`): fps, frame
-    count, width, height, plus duration. Missing/unprobeable fields are
-    None (e.g. audio-only files have no video stream)."""
+    """Media metadata via ONE ffprobe invocation — the full set the
+    reference's OpenCV probe collected (`decorte_data_loader.py:86-99`):
+    fps, frame count, width, height, plus duration. Missing/unprobeable
+    fields are None (e.g. audio-only files have no video stream)."""
     meta = {"fps": None, "n_frames": None, "width": None, "height": None,
-            "duration_s": probe_duration(path)}
+            "duration_s": None}
     if shutil.which("ffprobe") is None:
         return meta
     try:
@@ -177,7 +177,7 @@ def probe_media_meta(path: str) -> dict:
             [
                 "ffprobe", "-v", "error", "-select_streams", "v:0",
                 "-show_entries",
-                "stream=avg_frame_rate,nb_frames,width,height",
+                "format=duration:stream=avg_frame_rate,nb_frames,width,height",
                 "-of", "default=noprint_wrappers=1", path,
             ]
         ).decode()
@@ -202,6 +202,11 @@ def probe_media_meta(path: str) -> dict:
         elif key in ("width", "height"):
             try:
                 meta[key] = int(val)
+            except ValueError:
+                pass
+        elif key == "duration":
+            try:
+                meta["duration_s"] = float(val)
             except ValueError:
                 pass
     return meta

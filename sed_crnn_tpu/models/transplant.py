@@ -83,6 +83,13 @@ def params_from_torch_state_dict(
     Raises ValueError with the offending shapes when the checkpoint does not
     structurally match ``cfg`` (conv channels, GRU widths, head dims).
     """
+    if cfg.name == "sednet":
+        raise ValueError(
+            "sednet presets use the keras-2.2.4 GRU cell (reset_after=False, "
+            "hard_sigmoid gates, single bias) — torch GRU weights encode "
+            "cuDNN reset_after semantics and cannot be transplanted onto it; "
+            "only the timepooled-v1/v2 presets accept torch checkpoints"
+        )
     sd = strip_prefixes(state_dict)
     convs: List[Dict[str, np.ndarray]] = []
     bns: List[Dict[str, np.ndarray]] = []
@@ -183,7 +190,13 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig):
     under ``state_dict``/``model``."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Lightning checkpoints pickle hyper_parameters as an AttributeDict,
+        # which the weights-only unpickler rejects; these files come from the
+        # user's own training runs, so fall back to a full unpickle.
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     elif isinstance(obj, dict) and "model" in obj and all(

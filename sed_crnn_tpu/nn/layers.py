@@ -159,6 +159,8 @@ class Dropout:
         if ctx.rng is None:
             raise ValueError("Dropout in train mode requires ctx.rng")
         keep = 1.0 - self.rate
+        if keep <= 0.0:
+            return jnp.zeros_like(x)
         # Bernoulli by integer threshold on raw random words rather than
         # jax.random.bernoulli: the float path generates a u32 word per
         # element, relayouts it, converts to f32 uniforms, compares, and

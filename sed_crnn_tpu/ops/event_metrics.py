@@ -61,23 +61,42 @@ def _temporal_hit(
 
 
 def _max_bipartite(adj: List[List[int]], n_right: int) -> Tuple[int, List[int]]:
-    """Kuhn's augmenting-path maximum matching. ``adj[u]`` lists right nodes
+    """Kuhn's augmenting-path maximum matching, breadth-first and iterative
+    (a recursive DFS overflows Python's stack when a long recording decodes
+    into thousands of collar-chained events). ``adj[u]`` lists right nodes
     eligible for left node ``u``; returns (size, right->left assignment)."""
     match_r = [-1] * n_right
 
-    def augment(u: int, visited: set) -> bool:
-        for v in adj[u]:
-            if v in visited:
-                continue
-            visited.add(v)
-            if match_r[v] == -1 or augment(match_r[v], visited):
-                match_r[v] = u
-                return True
+    def augment(root: int) -> bool:
+        parent = {}        # right v -> left u that discovered it
+        origin = {root: None}  # left u -> right v through which u was reached
+        frontier = [root]
+        seen_r = set()
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v in seen_r:
+                        continue
+                    seen_r.add(v)
+                    parent[v] = u
+                    w = match_r[v]
+                    if w == -1:
+                        # free right node: flip matches back along the path
+                        while v is not None:
+                            u_ = parent[v]
+                            match_r[v] = u_
+                            v = origin[u_]
+                        return True
+                    if w not in origin:
+                        origin[w] = v
+                        nxt.append(w)
+            frontier = nxt
         return False
 
     size = 0
     for u in range(len(adj)):
-        if augment(u, set()):
+        if augment(u):
             size += 1
     return size, match_r
 

@@ -207,3 +207,14 @@ def test_cross_validation_against_bruteforce_oracle():
         assert s["substitutions"] in subs_set, (case, ref, sys, s, subs_set)
         assert s["deletions"] == n_ref - s["tp"] - s["substitutions"]
         assert s["insertions"] == n_sys - s["tp"] - s["substitutions"]
+
+
+def test_long_collar_chain_no_recursion_error():
+    """Thousands of collar-chained same-class events must not blow the
+    Python stack (the matcher is iterative): a dense flapping decode over a
+    long clip pairs 1:1 with an offset copy of itself."""
+    n = 1500
+    ref = [(0.05 * i, 0.05 * i + 0.04, 0) for i in range(n)]
+    sys = [(0.05 * i + 0.01, 0.05 * i + 0.05, 0) for i in range(n)]
+    s = event_scores(ref, sys)
+    assert s["tp"] == n and s["er_event"] == 0.0

@@ -123,3 +123,13 @@ def test_dropout_statistics_and_eval_identity(rng):
     np.testing.assert_allclose(np.asarray(out).mean(), 1.0, atol=0.05)
     # eval = identity
     np.testing.assert_array_equal(np.asarray(drop.apply(x, Ctx(train=False))), np.asarray(x))
+
+
+def test_dropout_rate_one_returns_zeros():
+    import jax
+
+    from sed_crnn_tpu.nn.layers import Ctx, Dropout
+
+    x = jnp.ones((4, 8), jnp.float32)
+    y = Dropout(1.0).apply(x, Ctx(train=True, rng=jax.random.PRNGKey(0)))
+    assert float(jnp.sum(jnp.abs(y))) == 0.0

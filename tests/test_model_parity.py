@@ -206,3 +206,42 @@ def test_import_rejects_mismatched_preset(rng):
         params_from_torch_state_dict(
             get_model("timepooled-v1").cfg, tm.state_dict()
         )
+
+
+def test_import_rejects_sednet_presets():
+    """torch GRU weights encode cuDNN reset_after semantics; mapping them
+    onto the keras-cell sednet presets must fail loudly."""
+    torch.manual_seed(5)
+    tm = TorchV1()
+    with pytest.raises(ValueError, match="keras"):
+        params_from_torch_state_dict(get_model("sednet-dcase").cfg, tm.state_dict())
+
+
+def test_import_full_lightning_checkpoint_with_hparams(tmp_path, rng):
+    """Real Lightning checkpoints carry pickled hyper_parameters objects the
+    weights-only unpickler rejects; the loader must fall back and import."""
+    import argparse
+    import dataclasses
+
+    from sed_crnn_tpu.models.transplant import load_torch_checkpoint
+
+    torch.manual_seed(6)
+    tm = TorchV2()
+    _prime_bn_stats(tm, rng)
+    ckpt = tmp_path / "full_lightning.ckpt"
+    torch.save(
+        {
+            "state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()},
+            "hyper_parameters": argparse.Namespace(lr=1e-3, fold_id=1),
+            "epoch": 17,
+        },
+        ckpt,
+    )
+    cfg = dataclasses.replace(get_preset("timepooled-v2").model, compute_dtype="float32")
+    params, state = load_torch_checkpoint(str(ckpt), cfg)
+    model = get_model(cfg)
+    x = rng.standard_normal((2, 64, 40)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 2, 1)[:, None])).numpy()
+    logits, _, _ = model.apply(params, state, jnp.asarray(x), Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4)
