@@ -32,8 +32,19 @@ def infer_file(
     threshold: float = 0.5,
     carry_backward: bool = False,
     lookahead: bool = False,
+    log_floor: float = 1e-10,
 ):
+    """``log_floor`` clamps mel energies before the log: real recordings can
+    contain exact digital silence, whose parity-mode log(0) = -inf features
+    NaN every downstream probability. Serving defaults to a tiny floor;
+    pass 0/None for the reference's strict no-epsilon semantics."""
+    import dataclasses
+
     cfg = get_preset(preset)
+    if log_floor:
+        cfg = cfg.replace(
+            frontend=dataclasses.replace(cfg.frontend, log_floor=float(log_floor))
+        )
     model = get_model(cfg.model)
     tree, meta = ckpt_io.load_checkpoint(checkpoint)
     params, state = tree["params"], tree["model_state"]
@@ -93,13 +104,19 @@ def main(argv=None):
         help="emit each chunk one chunk late with bounded bidirectional "
              "right context (latency = seq_len_in frames of audio)",
     )
+    p.add_argument(
+        "--log-floor", type=float, default=1e-10,
+        help="mel-energy floor before the log (0 = reference's strict "
+             "no-epsilon semantics; exact digital silence then yields -inf "
+             "features and NaN probabilities)",
+    )
     p.add_argument("--out", help="write events as JSON here (default stdout)")
     args = p.parse_args(argv)
 
     stats = stats_from_fold(args.stats_from, args.fold) if args.stats_from else None
     probs, events, meta = infer_file(
         args.wav, args.checkpoint, args.preset, stats, args.threshold,
-        args.carry_backward, args.lookahead,
+        args.carry_backward, args.lookahead, args.log_floor,
     )
     payload = {
         "wav": args.wav,

@@ -264,3 +264,41 @@ def test_train_app_synthetic(tmp_path):
     )
     runs = sorted(tmp_path.iterdir())
     assert (runs[-1] / "experiment.jsonl").exists()
+
+
+def test_infer_digital_silence_finite_with_floor(tmp_path):
+    """Recordings with exact digital silence produce log(0) = -inf parity
+    features; the serving CLI's default log floor must keep probabilities
+    finite, while log_floor=0 preserves the strict reference semantics."""
+    import jax
+
+    from sed_crnn_tpu.apps.infer import infer_file
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+    from sed_crnn_tpu.core.config import get_preset
+    from sed_crnn_tpu.data.wavio import write_wav
+    from sed_crnn_tpu.models import get_model
+    from sed_crnn_tpu.train.optim import Adam
+
+    t = np.arange(44100 * 4) / 44100.0
+    y = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    y[44100:88200] = 0.0  # one second of true digital silence
+    wav = tmp_path / "silence.wav"
+    write_wav(str(wav), y, 44100)
+
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    params, state = model.init(jax.random.PRNGKey(0))
+    adam = Adam(learning_rate=1e-3)
+    opt = adam.init(params)
+    ckpt = tmp_path / "ckpt.npz"
+    ckpt_io.save_checkpoint(str(ckpt), {
+        "params": params, "model_state": state,
+        "opt_state": {"step": opt.step, "mu": opt.mu, "nu": opt.nu},
+        "lr_scale": jax.numpy.ones((), "float32")}, {"epoch": 0})
+
+    probs, _, _ = infer_file(str(wav), str(ckpt), "timepooled-v2")
+    assert np.all(np.isfinite(np.asarray(probs)))
+
+    probs_parity, _, _ = infer_file(str(wav), str(ckpt), "timepooled-v2",
+                                    log_floor=0.0)
+    assert not np.all(np.isfinite(np.asarray(probs_parity)))
