@@ -140,8 +140,55 @@ def bench_tpu():
     log(f"train: {chain}x {n_steps} steps x {BATCH} windows, {dt*1e3:.1f} ms/epoch "
         f"-> {train_rate:,.0f} audio-sec/sec")
 
+    # ---- flagship SEDnet: 256-frame sequence training (the reference's
+    # headline workflow, README.md:55-58) -------------------------------
+    from sed_crnn_tpu.data.rasterize import rasterize_events
+
+    exp_s = get_preset("sednet-dcase")
+    frames_s = 60_000
+    ev = [(t, t + 0.4, int(t) % 6) for t in np.arange(3.0, frames_s / FRAMES_PER_SEC - 5, 4.0)]
+    lab_s = rasterize_events(
+        [(s, e) for s, e, _ in ev], frames_s, 44100, 1024,
+        n_classes=6, class_ids=[c for _, _, c in ev],
+    )
+    mel_s = rng.standard_normal((frames_s, 40)).astype(np.float32)
+    fold_s = {
+        "train_x": mel_s, "train_y": lab_s,
+        "val_x": mel_s[:20000], "val_y": lab_s[:20000],
+    }
+    ts_s, vs_s = make_samplers(exp_s, fold_s)
+    trainer_s = Trainer(get_model(exp_s.model), exp_s.train, ts_s, vs_s)
+    state_s = trainer_s.init_state(jax.random.PRNGKey(2))
+    sed_steps = 20
+    t0 = time.perf_counter()
+    state_s, sc = trainer_s.train_epoch(state_s, jax.random.PRNGKey(3), sed_steps)
+    _ = float(sc["loss"])
+    sed_compile = time.perf_counter() - t0
+    log(f"sednet first epoch (compile + run): {sed_compile:.1f}s")
+
+    def run_sed_epochs(state, seed0):
+        scores = None
+        for r in range(chain):
+            state, scores = trainer_s.train_epoch(
+                state, jax.random.PRNGKey(seed0 + r), sed_steps
+            )
+        _ = float(scores["loss"] + jnp.sum(state.params["head"][0]["b"]))
+        return state
+
+    state_s = run_sed_epochs(state_s, 5)  # warm
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        state_s = run_sed_epochs(state_s, 30 + chain * r)
+        times.append(time.perf_counter() - t0)
+    sed_dt = min(times) / chain
+    sed_audio = sed_steps * 128 * 256 / FRAMES_PER_SEC
+    sed_rate = sed_audio / sed_dt
+    log(f"sednet train: {sed_steps} steps x 128 seq256, {sed_dt*1e3:.1f} ms/epoch "
+        f"-> {sed_rate:,.0f} audio-sec/sec")
+
     pipeline_rate = 1.0 / (1.0 / best_feat_rate + 1.0 / train_rate)
-    return pipeline_rate, best_feat_rate, train_rate
+    return pipeline_rate, best_feat_rate, train_rate, sed_rate, sed_compile
 
 
 def bench_cpu_reference():
@@ -212,7 +259,7 @@ def bench_cpu_reference():
 
 
 def main():
-    tpu_rate, feat_rate, train_rate = bench_tpu()
+    tpu_rate, feat_rate, train_rate, sed_rate, sed_compile = bench_tpu()
     cpu_rate = bench_cpu_reference()
     result = {
         "metric": "feature+train pipeline throughput (timepooled CRNN, 40-mel frontend)",
@@ -223,6 +270,8 @@ def main():
             "tpu_frontend_audio_sec_per_sec": round(feat_rate, 1),
             "tpu_train_audio_sec_per_sec": round(train_rate, 1),
             "cpu_reference_audio_sec_per_sec": round(cpu_rate, 1),
+            "sednet256_train_audio_sec_per_sec": round(sed_rate, 1),
+            "sednet256_first_epoch_compile_sec": round(sed_compile, 1),
         },
     }
     print(json.dumps(result))

@@ -165,7 +165,14 @@ def extract_dcase(
         x_train = np.asarray(frontend.normalize(jnp.asarray(X["train"]), stats))
         x_test = np.asarray(frontend.normalize(jnp.asarray(X["test"]), stats))
         out = store.fold_path(cache_dir, fold, tag)
-        np.savez(out, x_train, Y["train"], x_test, Y["test"])
+        # arr_4/arr_5 = the exact train-split stats, for serving (see
+        # `data/store.py` module docstring); DCASE folds follow the
+        # evaluation_setup lists, so refitting them later from per-file
+        # caches with the Decorte round-robin rule would be WRONG.
+        np.savez(
+            out, x_train, Y["train"], x_test, Y["test"],
+            np.asarray(stats.mean), np.asarray(stats.scale),
+        )
         print(f"[fold {fold}] saved {out} | train={len(x_train)} test={len(x_test)}")
 
 

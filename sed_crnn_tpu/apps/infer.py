@@ -69,17 +69,41 @@ def infer_file(
 def stats_from_fold(
     cache_dir: str, fold_id: int, channel_tag: str = "mon", k_folds: int = 4
 ):
-    """Refit the fold's TRAIN-split normalization statistics from the raw
-    per-video features. Fold assignment follows the catalog's deterministic
-    rule (sorted names, round-robin, `data/catalog.py`): fold ``k``'s test
-    videos are those at sorted index ``i`` with ``i % k_folds == k - 1``;
-    every other video is train. Returns (mean, scale) or None if no
-    per-video caches exist."""
+    """The fold's TRAIN-split normalization statistics, for serving.
+
+    Preferred source: the fold pack's recorded ``arr_4``/``arr_5``
+    (`data/store.py::load_fold_stats`) — the EXACT statistics training
+    normalized with, valid for every pipeline (Decorte and DCASE alike).
+
+    Legacy fallback (packs written by the reference, which records no
+    stats): refit from the raw per-video features under the Decorte fold
+    rule — sorted names, round-robin (`data/catalog.py`): fold ``k``'s test
+    videos sit at sorted index ``i`` with ``i % k_folds == k - 1``. That
+    rule is WRONG for DCASE caches (their folds follow the
+    ``evaluation_setup`` lists), so multi-class per-file caches are refused
+    rather than silently misfit. Returns (mean, scale) or None if the cache
+    dir holds neither a stats-bearing pack nor per-video files."""
     import glob
 
+    recorded = store.load_fold_stats(cache_dir, fold_id, channel_tag)
+    if recorded is not None:
+        return recorded
+
     files = sorted(glob.glob(os.path.join(cache_dir, f"*_{channel_tag}.npz")))
+    fold_pack = os.path.basename(store.fold_path(cache_dir, fold_id, channel_tag))
     if not files:
         return None
+    # DCASE caches share the per-file glob pattern but assign folds via
+    # evaluation_setup lists; detect them by their multi-class labels.
+    first_lbl = store.load_video_features(files[0])[1]
+    if first_lbl.ndim == 2 and first_lbl.shape[1] > 1:
+        raise ValueError(
+            f"{cache_dir} holds multi-class per-file caches (DCASE-style), "
+            f"whose fold membership follows the evaluation_setup lists — the "
+            f"Decorte round-robin refit would compute WRONG statistics. "
+            f"Re-pack the folds with this framework's feature app (the pack "
+            f"{fold_pack} then records the exact train stats as arr_4/arr_5)."
+        )
     train_files = [
         f for i, f in enumerate(files) if i % k_folds != (fold_id - 1) % k_folds
     ]

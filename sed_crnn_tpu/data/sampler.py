@@ -36,8 +36,13 @@ import numpy as np
 
 def find_clean_negative_starts(label_vec: np.ndarray, seq_len: int) -> np.ndarray:
     """Window starts whose ``seq_len`` span contains no positive frame
-    (reference `sed.py:48-52` semantics via a box-filter convolution)."""
-    mask = (np.asarray(label_vec)[:, 0] > 0).astype(np.int64)
+    (reference `sed.py:48-52` semantics via a box-filter convolution).
+
+    A frame is positive when ANY class is active — for the reference's
+    1-class hit pipelines this is exactly its ``label[:, 0] > 0`` rule, and
+    multi-class configs balance on event presence rather than silently on
+    class 0 alone."""
+    mask = (np.asarray(label_vec).max(axis=1) > 0).astype(np.int64)
     if len(mask) < seq_len:
         return np.empty((0,), np.int64)
     window_sums = np.convolve(mask, np.ones(seq_len, dtype=np.int64), mode="valid")
@@ -48,7 +53,7 @@ def balanced_counts(label_vec: np.ndarray, seq_len: int) -> Tuple[int, int]:
     """(#positive frames, #clean-negative window starts) for one split —
     the quantities that size the balanced sampler's epoch and buckets."""
     lab = np.asarray(label_vec)
-    n_pos = int(np.flatnonzero(lab[:, 0] > 0).size)
+    n_pos = int(np.flatnonzero(lab.max(axis=1) > 0).size)
     n_neg = int(find_clean_negative_starts(lab, seq_len).size)
     return n_pos, n_neg
 
@@ -185,7 +190,7 @@ class BalancedWindowSampler:
             raise ValueError(
                 f"split has {self.total_frames} frames < window {self.seq_len_in}"
             )
-        pos = np.flatnonzero(lab_np[:, 0] > 0)
+        pos = np.flatnonzero(lab_np.max(axis=1) > 0)
         if pos.size == 0:
             raise ValueError("split contains no positive frames — cannot balance")
         neg = find_clean_negative_starts(lab_np, self.seq_len_in)

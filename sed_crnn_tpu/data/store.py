@@ -4,7 +4,12 @@
   ``arr_1`` = labels ``(frames, n_classes)`` (reference `feature.py:95`);
 * per-fold ``mbe_mon_fold{k}.npz``: ``arr_0..arr_3`` = X_train, Y_train,
   X_test, Y_test (reference `feature.py:131-132`), X's standardized with
-  statistics fit on the train split only (`feature.py:127-129`).
+  statistics fit on the train split only (`feature.py:127-129`). Packs
+  written by THIS framework additionally carry the fit statistics as
+  ``arr_4`` = per-mel-bin mean and ``arr_5`` = scale (std), so serving
+  (`apps/infer.py`) normalizes new audio with the EXACT training statistics
+  instead of refitting them. Reference loaders read only ``arr_0..arr_3``,
+  so the files stay drop-in compatible both ways.
 
 A user of the reference can point this framework at their existing cache
 directory (or vice versa) and the files interoperate.
@@ -71,19 +76,39 @@ def pack_folds(
         X_test = np.asarray(frontend.normalize(jnp.asarray(X_test), stats))
 
         out = fold_path(cache_dir, fold + 1, channel_tag)
-        np.savez(out, X_train, Y_train, X_test, Y_test)
+        np.savez(
+            out, X_train, Y_train, X_test, Y_test,
+            np.asarray(stats.mean), np.asarray(stats.scale),
+        )
         paths[fold + 1] = out
     return paths
 
 
 def load_fold(cache_dir: str, fold_id: int, channel_tag: str = "mon") -> Dict[str, np.ndarray]:
     arr = np.load(fold_path(cache_dir, fold_id, channel_tag))
-    return {
+    fold = {
         "train_x": arr["arr_0"],
         "train_y": arr["arr_1"],
         "val_x": arr["arr_2"],
         "val_y": arr["arr_3"],
     }
+    if "arr_4" in arr.files and "arr_5" in arr.files:
+        fold["norm_mean"], fold["norm_scale"] = arr["arr_4"], arr["arr_5"]
+    return fold
+
+
+def load_fold_stats(
+    cache_dir: str, fold_id: int, channel_tag: str = "mon"
+) -> "Tuple[np.ndarray, np.ndarray] | None":
+    """The (mean, scale) this fold's X's were standardized with, if the pack
+    recorded them (packs from this framework do; reference packs do not)."""
+    path = fold_path(cache_dir, fold_id, channel_tag)
+    if not os.path.exists(path):
+        return None
+    arr = np.load(path)
+    if "arr_4" in arr.files and "arr_5" in arr.files:
+        return arr["arr_4"], arr["arr_5"]
+    return None
 
 
 def load_all_folds(

@@ -161,12 +161,18 @@ class CRNN:
         x: jnp.ndarray,
         ctx: Ctx = Ctx(),
         rnn_carry: Optional[list] = None,
+        carry_at: Optional[int] = None,
     ):
         """Forward pass.
 
         Returns ``(logits (B, T_out, n_classes), new_state, new_carry)``.
         ``rnn_carry`` is a list of per-GRU hidden-state dicts used by
         streaming inference to chain chunks; pass None for windowed use.
+        ``carry_at`` (static GRU-timestep index) makes ``new_carry``'s
+        forward states the MID-sequence hidden states at that index instead
+        of the final ones — lookahead streaming reads chunk k's carry out of
+        the [k, k+1] pair pass without a second conv pass (the GRU output at
+        a timestep IS its hidden state, so this is a free slice).
         """
         cfg = self.cfg
         compute_dtype = jnp.dtype(cfg.compute_dtype)
@@ -201,6 +207,8 @@ class CRNN:
         for i, gru in enumerate(self._grus()):
             h0 = None if rnn_carry is None else rnn_carry[i]
             x, h_last = gru.apply(params["gru"][i], x, h0)
+            if carry_at is not None:
+                h_last = {"fwd": x[:, carry_at, : gru.hidden], "bwd": h_last["bwd"]}
             new_carry.append(h_last)
 
         act = _ACTIVATIONS[cfg.head_activation]

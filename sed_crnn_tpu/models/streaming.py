@@ -17,11 +17,13 @@ context: chunk k is emitted only after chunk k+1 arrives, and the
 bidirectional stack runs over the [k, k+1] pair so the backward GRU sees a
 full chunk of real future before its influence is truncated. Cost model:
 latency = one chunk of audio (seq_len_in * hop / sr seconds; ~1.5 s at the
-64-frame default, ~5.9 s for 256-frame SEDnet); compute = 3x the causal
-path's conv FLOPs per emitted chunk (a 2-chunk emission pass + a 1-chunk
-carry-advance pass). Residual error vs the full-sequence oracle comes from
-conv zero-padding at pair edges and backward context beyond one chunk, both
-of which decay through the tanh recurrences."""
+64-frame default, ~5.9 s for 256-frame SEDnet); compute = 2x the causal
+path's conv FLOPs per emitted chunk (one 2-chunk pass — the forward carry is
+read out of the pair pass's own GRU states at the chunk boundary via
+``carry_at``, so no separate advance pass is needed). Residual error vs the
+full-sequence oracle comes from conv zero-padding at pair edges and backward
+context beyond one chunk, both of which decay through the tanh
+recurrences."""
 
 from __future__ import annotations
 
@@ -94,34 +96,34 @@ def stream_logits_lookahead(
 ) -> jnp.ndarray:
     """Lookahead-buffer streaming: emit chunk k after seeing chunk k+1.
 
-    Each scan step runs the model over the concatenated [chunk_k, chunk_k+1]
-    pair with the carried forward-GRU state (backward state zero at the
-    pair's right edge, i.e. one chunk of real right context), keeps only
-    chunk k's logits, then advances the forward carry by exactly one chunk
-    with a chunk-only pass. mel (frames, n_mels) -> logits
+    Each scan step runs the model ONCE over the concatenated
+    [chunk_k, chunk_k+1] pair with the carried forward-GRU state (backward
+    state zero at the pair's right edge, i.e. one chunk of real right
+    context), keeps chunk k's logits, and reads the forward carry for the
+    next pair straight out of the pair pass's GRU states at the chunk
+    boundary (``carry_at`` — the recurrence already visited chunk k, so the
+    mid-sequence hidden state is a free slice, not a second conv pass).
+    mel (frames, n_mels) -> logits
     (ceil(frames/seq_len) * seq_len_out, n_classes)."""
     chunk = model.cfg.seq_len_in
     chunks = pad_to_chunks(mel.astype(jnp.float32), chunk)   # (n, chunk, F)
     nxt = jnp.concatenate([chunks[1:], jnp.zeros_like(chunks[:1])], axis=0)
     carry0 = _zero_carry(model, params, state, chunk)
+    # GRU timesteps per chunk: seq_len_out for time-pooled trunks, seq_len_in
+    # for mel-pooled (sednet) trunks.
+    t_chunk = model.seq_len_out
 
     def step(carry, xs):
         xc, xn = xs
         pair = jnp.concatenate([xc, xn], axis=0)[None]       # (1, 2*chunk, F)
-        logits, _, _ = model.apply(
-            params, state, pair, Ctx(train=False), rnn_carry=carry
-        )
-        # Forward carry advances by ONE chunk (the emitted one), so the next
-        # pair starts from the state after chunk k — a chunk-only pass keeps
-        # the recurrence aligned with emission.
-        _, _, adv = model.apply(
-            params, state, xc[None], Ctx(train=False), rnn_carry=carry
+        logits, _, mid = model.apply(
+            params, state, pair, Ctx(train=False), rnn_carry=carry,
+            carry_at=t_chunk - 1,
         )
         new_carry = [
-            {"fwd": a["fwd"], "bwd": z["bwd"]} for a, z in zip(adv, carry0)
+            {"fwd": m["fwd"], "bwd": z["bwd"]} for m, z in zip(mid, carry0)
         ]
-        t_out = logits.shape[1] // 2
-        return new_carry, logits[0, :t_out]
+        return new_carry, logits[0, :t_chunk]
 
     _, logits = jax.lax.scan(step, carry0, (chunks, nxt))
     return logits.reshape(-1, model.cfg.n_classes)

@@ -16,6 +16,17 @@ reference's `metrics.py:7` points at):
   temporal position, incorrect class label"), again maximally matched;
 * deletions/insertions are what remains; ER = (S + D + I) / N_ref.
 
+DELIBERATE DIVERGENCE from the sed_eval package's published implementation:
+sed_eval pairs BOTH the TP assignment and the leftover substitutions
+greedily in list order, which is order-dependent and can miss pairings when
+several events crowd inside one collar. This module uses maximum bipartite
+matching for both, which is order-independent and never undercounts —
+validated against a brute-force optimal-matching oracle over 200 random
+scenes (`tests/test_event_metrics.py`). In crowded-collar scenes this can
+report MORE TPs/substitutions (hence lower ER) than sed_eval would; on
+typical well-separated event tracks the two agree exactly. See
+docs/PARITY.md §event-metrics.
+
 Event matching is irregular control flow, so it runs on host over decoded
 event lists — the heavy part (frame probabilities) stays on device; a full
 recording decodes to at most a few hundred events.

@@ -20,12 +20,13 @@ compiled programs across folds exactly like single-device folds do.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import numpy as np
 
 from sed_crnn_tpu.core.config import TrainConfig
+from sed_crnn_tpu.data.sampler import find_clean_negative_starts
 from sed_crnn_tpu.models.crnn import CRNN
 from sed_crnn_tpu.parallel.mesh import DATA_AXIS, local_batch_slice
 from sed_crnn_tpu.train.loop import Trainer
@@ -54,11 +55,23 @@ class DataParallelTrainer(Trainer):
 
 
 def shard_fold_data(
-    fold_data: Dict[str, np.ndarray], mesh, axis_name: str = DATA_AXIS
+    fold_data: Dict[str, np.ndarray],
+    mesh,
+    axis_name: str = DATA_AXIS,
+    seq_len_in: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Per-host data sharding hook for multi-host DP: each host keeps only its
     process's contiguous frame range (samplers then draw host-local windows).
-    Single-host meshes return the data unchanged (replication in HBM)."""
+    Single-host meshes return the data unchanged (replication in HBM).
+
+    Contiguous slicing can starve a host when positives cluster in one region
+    (e.g. all events in the recording's first half): the balanced sampler
+    would then fail inside jit setup with an unhelpful message. Each shard is
+    therefore validated up front — any-class positive frames must remain, and
+    when ``seq_len_in`` is given, at least one clean-negative window start
+    too (`data/sampler.py::find_clean_negative_starts`) — with an error that
+    names the host, the split, and the counts, so the fix (interleave videos
+    across hosts, or rebalance the catalog) is actionable."""
     n_proc = jax.process_count()
     if n_proc == 1:
         return fold_data
@@ -68,5 +81,24 @@ def shard_fold_data(
         x, y = fold_data[f"{split}_x"], fold_data[f"{split}_y"]
         chunk = x.shape[0] // n_proc
         sl = slice(pid * chunk, (pid + 1) * chunk)
-        out[f"{split}_x"], out[f"{split}_y"] = x[sl], y[sl]
+        xs, ys = x[sl], y[sl]
+        n_pos = int((np.asarray(ys).max(axis=1) > 0).sum())
+        if n_pos == 0:
+            raise ValueError(
+                f"host {pid}/{n_proc}: contiguous {split} shard "
+                f"(frames [{sl.start}, {sl.stop})) contains NO positive "
+                f"frames — the balanced sampler cannot draw from it. "
+                f"Interleave videos across hosts or rebalance the fold."
+            )
+        if seq_len_in is not None:
+            n_neg = int(find_clean_negative_starts(ys, seq_len_in).size)
+            if n_neg == 0:
+                raise ValueError(
+                    f"host {pid}/{n_proc}: contiguous {split} shard "
+                    f"(frames [{sl.start}, {sl.stop}), {n_pos} positive "
+                    f"frames) has no clean {seq_len_in}-frame negative "
+                    f"window — the balanced sampler cannot draw negatives. "
+                    f"Interleave videos across hosts or rebalance the fold."
+                )
+        out[f"{split}_x"], out[f"{split}_y"] = xs, ys
     return out

@@ -174,6 +174,7 @@ def _epoch_program(
     mode: str,
     dp,  # None | (Mesh, axis_name)
     static_full: bool = False,
+    pad_mode: str = "cond",
 ):
     """Build + jit one epoch program.
 
@@ -185,6 +186,19 @@ def _epoch_program(
 
     Every fold-varying quantity is a traced argument; the lru_cache key holds
     only value-hashable configs, so fold B can never see fold A's data.
+
+    ``pad_mode`` picks how padded trailing steps (>= n_valid_steps, present
+    when folds share one program via `CompilePlan` buckets) are skipped:
+
+    * "cond" (default): `lax.cond` skips the whole step — bit-identical to
+      the exactly-sized epoch (the padded program's true branch compiles to
+      the same computation).
+    * "mask": every scan step EXECUTES; padded steps' state updates and
+      outputs are discarded with a scalar `jnp.where` select, leaving no
+      conditional in the program. Semantically equivalent, but re-fusion
+      perturbs numerics at rounding level (~1e-6 f32 after 3 steps vs the
+      exact program). A/B-measured against "cond" for compile cost by
+      `scripts/compile_cost.py`.
     """
     loss_fn = make_loss(tcfg.loss, tcfg.focal_alpha, tcfg.focal_gamma)
     adam = Adam(
@@ -245,10 +259,9 @@ def _epoch_program(
     )
 
     def scan_epoch(state, key, data, n_valid_steps):
-        """Scan n_steps_max steps; steps >= n_valid_steps are skipped via
-        lax.cond (state passes through, outputs are zero rows). When the
-        caller statically runs every step (``static_full``), the cond wrapper
-        is elided entirely — it costs real scheduling slack per step."""
+        """Scan n_steps_max steps; steps >= n_valid_steps are skipped per
+        ``pad_mode``. When the caller statically runs every step
+        (``static_full``), no skip machinery is emitted at all."""
         step_fn = train_step if mode == "train" else eval_step
         idx = jnp.arange(n_steps_max)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
@@ -257,6 +270,14 @@ def _epoch_program(
             k, i = inp
             if static_full:
                 return step_fn(st, k, data)
+            if pad_mode == "mask":
+                new_st, out = step_fn(st, k, data)
+                valid = i < n_valid_steps
+                sel = lambda a, b: jnp.where(valid, a, b)  # noqa: E731
+                return (
+                    jax.tree.map(sel, new_st, st),
+                    jax.tree.map(sel, out, zeros_out),
+                )
             return jax.lax.cond(
                 i < n_valid_steps,
                 lambda s: step_fn(s, k, data),
@@ -329,8 +350,12 @@ def _epoch_program(
     )
 
     def sweep_scan(state, data, n_valid_steps):
+        # Sweep steps are self-masking: `sweep_batch_from` clamps
+        # out-of-range window indices and zero-weights them, so steps beyond
+        # the valid count contribute exact zeros with no guard at all —
+        # except in "cond" mode, kept for the compile-cost A/B.
         def body(carry, i):
-            if static_full:
+            if static_full or pad_mode == "mask":
                 return carry, sweep_step(state, i, data)
             out = jax.lax.cond(
                 i < n_valid_steps,
@@ -541,7 +566,18 @@ def run_fold(
         best_f1 = float(meta.get("best_f1", 0.0))
         best_epoch = int(meta.get("best_epoch", 0))
         no_imp = int(meta.get("no_imp", 0))
-        key = jax.random.PRNGKey(int(meta.get("key_seed", seed + fold_id + start_epoch)))
+        if "rng_key" in tree:
+            # Bit-faithful resume: the checkpoint carries the live PRNG key
+            # (the carry after this epoch's split), so the resumed run
+            # continues the EXACT key chain the uninterrupted run would have
+            # followed — sampling and dropout streams included.
+            key = jnp.asarray(tree["rng_key"])
+        else:
+            # Legacy checkpoints (pre round-3) lack the key; fall back to a
+            # deterministic-but-divergent reseed.
+            key = jax.random.PRNGKey(
+                int(meta.get("key_seed", seed + fold_id + start_epoch))
+            )
         history = meta.get("history", history)
         if plateau_state is not None and "plateau" in meta:
             plateau_state = PlateauState(**meta["plateau"])
@@ -569,7 +605,7 @@ def run_fold(
         log, checkpoint, plot. Runs while the NEXT epoch executes on device
         (pipelined mode). Returns True when early stop triggers."""
         nonlocal best_er, best_f1, best_epoch, no_imp, epochs_run
-        epoch, t_ep, ep_state, tr_scores, val_scores, ep_plateau = pend
+        epoch, t_ep, ep_state, tr_scores, val_scores, ep_plateau, ep_key = pend
         tr = {k: float(v) for k, v in tr_scores.items()}
         val = {k: float(v) for k, v in val_scores.items()}
         epochs_run = epoch
@@ -642,6 +678,9 @@ def run_fold(
                 "nu": ep_state.opt_state.nu,
             },
             "lr_scale": ep_state.lr_scale,
+            # The live key carry AFTER this epoch's split — resuming from
+            # this checkpoint continues the exact RNG chain (see resume_from).
+            "rng_key": np.asarray(ep_key),
         }
         if improved:
             ckpt_io.save_checkpoint(best_ckpt_path, tree, meta)
@@ -697,7 +736,7 @@ def run_fold(
             state = state._replace(
                 lr_scale=jnp.asarray(plateau_state.lr_scale, jnp.float32)
             )
-        current = (epoch, t_ep, state, tr_scores, val_scores, plateau_state)
+        current = (epoch, t_ep, state, tr_scores, val_scores, plateau_state, key)
         if pipeline:
             if pending is not None and finalize(pending):
                 pending = None  # early stop: drop the speculative epoch

@@ -67,10 +67,31 @@ fold = {
 }
 
 mesh = make_mesh()  # all 8 global devices, both hosts
-local = shard_fold_data(fold, mesh)
+local = shard_fold_data(fold, mesh, seq_len_in=64)
 assert local["train_x"].shape[0] == frames // 2
 lo, hi = (0, frames // 2) if pid == 0 else (frames // 2, frames)
 assert np.array_equal(local["train_x"], mel[lo:hi]), "host got the wrong shard"
+
+# Adversarial layout: every positive frame lives in host 0's half. The shard
+# guard must refuse host 1's starved shard with an actionable error (and
+# accept host 0's, which keeps both positives and clean negatives).
+adv_lab = lab.copy()
+adv_lab[frames // 2:] = 0.0
+adv = {
+    "train_x": mel,
+    "train_y": adv_lab,
+    "val_x": mel[: frames // 2].copy(),
+    "val_y": adv_lab[: frames // 2].copy(),
+}
+try:
+    shard_fold_data(adv, mesh, seq_len_in=64)
+    guard = "ok" if pid == 0 else "MISSED"
+except ValueError as e:
+    guard = (
+        "raised"
+        if pid == 1 and "NO positive" in str(e) and f"host {pid}" in str(e)
+        else f"WRONG:{e}"
+    )
 
 model_cfg = ModelConfig(
     name="tiny",
@@ -91,6 +112,7 @@ state, scores = trainer.train_epoch(state, jax.random.PRNGKey(1), 2)
 val = trainer.eval_epoch(state, jax.random.PRNGKey(2), 1)
 print(
     f"RESULT pid={pid} train_loss={float(scores['loss']):.6f} "
-    f"val_loss={float(val['loss']):.6f} er={float(val['er_overall_1sec']):.4f}",
+    f"val_loss={float(val['loss']):.6f} er={float(val['er_overall_1sec']):.4f} "
+    f"guard={guard}",
     flush=True,
 )

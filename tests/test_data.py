@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from sed_crnn_tpu.data import rasterize, seqs, store
 from sed_crnn_tpu.data.sampler import (
     BalancedWindowSampler,
+    balanced_counts,
     find_clean_negative_starts,
     spec_augment_batch,
 )
@@ -89,9 +90,23 @@ def test_fold_pack_contract_and_normalization(tmp_path, rng):
     assert sorted(paths) == [1, 2, 3, 4]
     assert paths[1].endswith("mbe_mon_fold1.npz")
 
-    # raw npz layout is the reference's arr_0..arr_3
+    # raw npz layout keeps the reference's arr_0..arr_3 positions; arr_4/5
+    # are this framework's recorded train-split stats (mean, scale)
     raw = np.load(paths[2])
-    assert set(raw.files) == {"arr_0", "arr_1", "arr_2", "arr_3"}
+    assert set(raw.files) == {"arr_0", "arr_1", "arr_2", "arr_3", "arr_4", "arr_5"}
+    assert raw["arr_4"].shape == (40,) and raw["arr_5"].shape == (40,)
+
+    # the recorded stats really are the fit: un-normalizing train_x with them
+    # recovers the raw concatenated features
+    stats = store.load_fold_stats(str(tmp_path), 2)
+    assert stats is not None
+    mean, scale = stats
+    raw_train = np.concatenate(
+        [v[0] for v in per_video.values() if v[2] != 1], axis=0
+    )
+    np.testing.assert_allclose(
+        raw["arr_0"] * scale + mean, raw_train, rtol=1e-4, atol=1e-4
+    )
 
     fold = store.load_fold(str(tmp_path), 2)
     # train standardized to ~zero mean / unit var; val transformed with the
@@ -180,6 +195,38 @@ def test_sampler_epoch_accounting(rng):
     n_pos = int((lab[:, 0] == 1).sum())
     assert s.epoch_examples == 2 * n_pos
     assert s.steps_per_epoch(128) == (2 * n_pos) // 128
+
+
+def test_sampler_multiclass_any_class_positive(rng):
+    """Balanced sampling defines 'positive' as ANY class active — a split
+    whose events live only in class 2 of a 3-class label must balance on
+    those events, not silently on (empty) class 0."""
+    frames = 3000
+    mel = rng.standard_normal((frames, 40)).astype(np.float32)
+    lab = np.zeros((frames, 3), np.float32)
+    pos_regions = [(200, 260), (900, 930), (2100, 2180)]
+    for a, b in pos_regions:
+        lab[a:b, 2] = 1.0
+
+    n_pos, n_neg = balanced_counts(lab, 64)
+    assert n_pos == sum(b - a for a, b in pos_regions)
+    assert n_neg > 0
+
+    s = BalancedWindowSampler(mel, lab, augment=False)
+    assert s.epoch_examples == 2 * n_pos
+    starts = np.asarray(s.sample_starts(jax.random.PRNGKey(3), 64))
+    any_pos = lab.max(axis=1)
+    for i, st in enumerate(starts):
+        window_pos = any_pos[st : st + 64].sum()
+        if i % 2 == 0:
+            assert window_pos > 0, f"even draw {i} missed all positives"
+        else:
+            assert window_pos == 0, f"odd draw {i} not a clean negative"
+
+    # clean negatives respect every class, not just class 0
+    negs = find_clean_negative_starts(lab, 64)
+    for st in negs[:: max(1, len(negs) // 50)]:
+        assert any_pos[st : st + 64].sum() == 0
 
 
 def test_sampler_error_cases(rng):

@@ -133,3 +133,41 @@ def test_dropout_rate_one_returns_zeros():
     x = jnp.ones((4, 8), jnp.float32)
     y = Dropout(1.0).apply(x, Ctx(train=True, rng=jax.random.PRNGKey(0)))
     assert float(jnp.sum(jnp.abs(y))) == 0.0
+
+
+def test_maxpool_backward_matches_naive_reshape(rng):
+    """The lane-folded pool's custom VJP (`nn/layers.py::_max_pool_lanes`)
+    must route gradients exactly like the naive reshape+max formulation on
+    tie-free inputs, for both the pw=2 (timepooled) and pw=5 (sednet
+    mel-pool) window widths, including ragged-edge truncation."""
+    for pw in (2, 5):
+        w = 3 * pw + 1  # ragged edge exercises the floor-truncation slice
+        x = rng.standard_normal((2, 4, w, 3)).astype(np.float32)
+        cot = rng.standard_normal((2, 4, w // pw, 3)).astype(np.float32)
+
+        def fused(x, cot=cot, pw=pw):
+            return jnp.sum(max_pool2d(x, (1, pw)) * cot)
+
+        def naive(x, cot=cot, pw=pw):
+            b, h, wd, c = x.shape
+            r = x[:, :, : (wd // pw) * pw, :].reshape(b, h, wd // pw, pw, c)
+            return jnp.sum(r.max(axis=3) * cot)
+
+        g_fused = np.asarray(jax.grad(fused)(jnp.asarray(x)))
+        g_naive = np.asarray(jax.grad(naive)(jnp.asarray(x)))
+        np.testing.assert_allclose(g_fused, g_naive, atol=0, err_msg=f"pw={pw}")
+
+
+def test_maxpool_backward_ties_go_to_first_element():
+    """Torch MaxPool2d routes the gradient to the FIRST maximal element of a
+    tied window; the custom VJP must do the same (the naive reduce_max
+    backward would split it across ties)."""
+    for pw in (2, 5):
+        x = jnp.ones((1, 1, 2 * pw, 1), jnp.float32)
+        g = np.asarray(
+            jax.grad(lambda x: jnp.sum(max_pool2d(x, (1, pw))))(x)
+        )[0, 0, :, 0]
+        expect = np.zeros(2 * pw, np.float32)
+        expect[0] = 1.0
+        expect[pw] = 1.0
+        np.testing.assert_array_equal(g, expect)

@@ -49,14 +49,21 @@ def test_two_process_dp_epoch_runs_and_replicates():
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
 
     results = {}
+    guards = {}
     for out in outs:
         m = re.search(
-            r"RESULT pid=(\d) train_loss=([\d.]+) val_loss=([\d.]+) er=([\d.]+)", out
+            r"RESULT pid=(\d) train_loss=([\d.]+) val_loss=([\d.]+) er=([\d.]+) "
+            r"guard=(\S+)",
+            out,
         )
         assert m, f"no RESULT line in:\n{out}"
         results[int(m.group(1))] = (m.group(2), m.group(3), m.group(4))
+        guards[int(m.group(1))] = m.group(5)
 
     assert set(results) == {0, 1}
     # Replicated state: both hosts must report the SAME losses/metrics
     # (the gradient psum crossed the process boundary and agreed).
     assert results[0] == results[1], results
+    # Starved-shard guard: host 0's adversarial shard passes, host 1's (no
+    # positives in its contiguous half) is refused with an actionable error.
+    assert guards == {0: "ok", 1: "raised"}, guards

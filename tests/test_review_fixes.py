@@ -108,6 +108,45 @@ def test_stats_from_fold_excludes_test_split(tmp_path, rng):
     np.testing.assert_allclose(mean2, (0 + 2 + 3) / 3, atol=1e-6)
 
 
+def test_stats_from_fold_prefers_recorded_pack_stats(tmp_path, rng):
+    """When the fold pack records its train stats (arr_4/arr_5), serving uses
+    the EXACT training statistics instead of the round-robin refit."""
+    from sed_crnn_tpu.apps.infer import stats_from_fold
+
+    per_video = {}
+    for i in range(4):
+        mbe = rng.standard_normal((120, 40)).astype(np.float32) + i
+        lbl = np.zeros((120, 1), np.float32)
+        lbl[10:20] = 1.0
+        per_video[f"v{i}.mp4"] = (mbe, lbl, i % 4)
+        store.save_video_features(
+            store.video_feature_path(str(tmp_path), f"v{i}.mp4"), mbe, lbl
+        )
+    store.pack_folds(per_video, str(tmp_path))
+    mean, scale = stats_from_fold(str(tmp_path), fold_id=2)
+    rec_mean, rec_scale = store.load_fold_stats(str(tmp_path), 2)
+    np.testing.assert_array_equal(mean, rec_mean)
+    np.testing.assert_array_equal(scale, rec_scale)
+
+
+def test_stats_from_fold_refuses_dcase_style_refit(tmp_path):
+    """Multi-class per-file caches (DCASE) without a stats-bearing pack must
+    be refused: their folds follow evaluation_setup lists, so the Decorte
+    round-robin refit would compute wrong statistics."""
+    import pytest
+
+    from sed_crnn_tpu.apps.infer import stats_from_fold
+
+    for i in range(3):
+        mbe = np.zeros((80, 40), np.float32)
+        lbl = np.zeros((80, 6), np.float32)  # 6-class DCASE-style labels
+        store.save_video_features(
+            store.video_feature_path(str(tmp_path), f"a{i:03d}.wav"), mbe, lbl
+        )
+    with pytest.raises(ValueError, match="evaluation_setup"):
+        stats_from_fold(str(tmp_path), fold_id=1)
+
+
 def test_wav_pad_byte_after_odd_data_chunk(tmp_path):
     """data chunk with odd byte size followed by the fmt chunk: the parser
     must consume the pad byte to find fmt."""

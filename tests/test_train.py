@@ -226,3 +226,35 @@ def test_run_experiment_aggregates(tmp_path, rng, tiny_cfg):
     assert 0 <= out["mean_er"]
     assert len(out["folds"]) == 2
     assert os.path.exists(tmp_path / "experiment.jsonl")
+
+
+def test_resume_is_bit_faithful(tmp_path, rng, tiny_cfg):
+    """A run interrupted at epoch 3 and resumed must finish with params
+    BIT-identical to the uninterrupted run: the checkpoint carries the live
+    PRNG key, so the resumed sampling/dropout stream continues the exact
+    chain (`train/loop.py` resume_from)."""
+    fold = _synthetic_fold(rng, 2500)
+    mk = tiny_cfg.train.__class__
+    cfg5 = tiny_cfg.replace(
+        train=mk(**{**tiny_cfg.train.__dict__, "max_epochs": 5, "plot_every": 0})
+    )
+    cfg3 = tiny_cfg.replace(
+        train=mk(**{**tiny_cfg.train.__dict__, "max_epochs": 3, "plot_every": 0})
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    train_loop.run_fold(cfg5, fold, 4, a_dir, verbose=False)
+    train_loop.run_fold(cfg3, fold, 4, b_dir, verbose=False)
+    train_loop.run_fold(
+        cfg5, fold, 4, b_dir,
+        resume_from=os.path.join(b_dir, "last_fold4.npz"), verbose=False,
+    )
+    tree_a, meta_a = ckpt_io.load_checkpoint(os.path.join(a_dir, "last_fold4.npz"))
+    tree_b, meta_b = ckpt_io.load_checkpoint(os.path.join(b_dir, "last_fold4.npz"))
+    assert meta_a["epoch"] == meta_b["epoch"] == 5
+    leaves_a = jax.tree_util.tree_leaves(tree_a)
+    leaves_b = jax.tree_util.tree_leaves(tree_b)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # histories must agree too (same losses epoch by epoch)
+    assert meta_a["history"] == meta_b["history"]
