@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("--channel-tag", default="mon")
     p.add_argument("--split", default="val", choices=["val", "train"])
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--event-matching", default="optimal",
+                   choices=["optimal", "greedy"],
+                   help="event-metric pairing: 'optimal' (maximum bipartite, "
+                        "order-independent) or 'greedy' (sed_eval's exact "
+                        "first-eligible-in-order pairing)")
     p.add_argument("--out", help="write the JSON report here (default stdout)")
     args = p.parse_args(argv)
 
@@ -43,6 +48,7 @@ def main(argv=None):
         fold[f"{args.split}_y"],
         cfg,
         batch_size=args.batch_size,
+        event_matching=args.event_matching,
     )
     report["checkpoint"] = args.checkpoint
     report["checkpoint_epoch"] = meta.get("epoch")

@@ -16,16 +16,19 @@ reference's `metrics.py:7` points at):
   temporal position, incorrect class label"), again maximally matched;
 * deletions/insertions are what remains; ER = (S + D + I) / N_ref.
 
-DELIBERATE DIVERGENCE from the sed_eval package's published implementation:
+DEFAULT DIVERGENCE from the sed_eval package's published implementation:
 sed_eval pairs BOTH the TP assignment and the leftover substitutions
 greedily in list order, which is order-dependent and can miss pairings when
-several events crowd inside one collar. This module uses maximum bipartite
-matching for both, which is order-independent and never undercounts —
-validated against a brute-force optimal-matching oracle over 200 random
-scenes (`tests/test_event_metrics.py`). In crowded-collar scenes this can
-report MORE TPs/substitutions (hence lower ER) than sed_eval would; on
-typical well-separated event tracks the two agree exactly. See
-docs/PARITY.md §event-metrics.
+several events crowd inside one collar. The default here
+(``matching="optimal"``) uses maximum bipartite matching for both, which is
+order-independent and never undercounts — validated against a brute-force
+optimal-matching oracle over 200 random scenes
+(`tests/test_event_metrics.py`). In crowded-collar scenes the optimal
+matcher can report MORE TPs/substitutions (hence lower ER) than sed_eval
+would; on well-separated event tracks the two agree exactly. Pass
+``matching="greedy"`` to mirror sed_eval's first-eligible-in-list-order
+pairing exactly (results then depend on event-list order, as sed_eval's
+do). See docs/PARITY.md §event-metrics.
 
 Event matching is irregular control flow, so it runs on host over decoded
 event lists — the heavy part (frame probabilities) stays on device; a full
@@ -112,14 +115,37 @@ def _max_bipartite(adj: List[List[int]], n_right: int) -> Tuple[int, List[int]]:
     return size, match_r
 
 
+def _greedy_match(adj: List[List[int]], n_right: int) -> Tuple[int, List[int]]:
+    """sed_eval's pairing: each left node takes the FIRST still-unmatched
+    eligible right node, in list order. Order-dependent by construction."""
+    match_r = [-1] * n_right
+    size = 0
+    for u in range(len(adj)):
+        for v in adj[u]:
+            if match_r[v] == -1:
+                match_r[v] = u
+                size += 1
+                break
+    return size, match_r
+
+
+_MATCHERS = {"optimal": _max_bipartite, "greedy": _greedy_match}
+
+
 def event_scores(
     ref_events: Sequence[Event],
     sys_events: Sequence[Event],
     t_collar: float = 0.2,
     offset_condition: bool = False,
     offset_collar_frac: float = 0.5,
+    matching: str = "optimal",
 ) -> Dict[str, float]:
-    """Event-based F1 and ER (sed_eval semantics; see module docstring)."""
+    """Event-based F1 and ER (sed_eval semantics; see module docstring).
+    ``matching``: "optimal" (maximum bipartite, default) or "greedy"
+    (sed_eval's exact first-eligible-in-order pairing)."""
+    if matching not in _MATCHERS:
+        raise ValueError(f"matching must be one of {sorted(_MATCHERS)}, got {matching!r}")
+    matcher = _MATCHERS[matching]
     ref = list(ref_events)
     sys = list(sys_events)
     n_ref, n_sys = len(ref), len(sys)
@@ -128,7 +154,7 @@ def event_scores(
         return _temporal_hit(r, s, t_collar, offset_condition, offset_collar_frac)
 
     adj = [[j for j, s in enumerate(sys) if s[2] == r[2] and hit(r, s)] for r in ref]
-    tp, match_r = _max_bipartite(adj, n_sys)
+    tp, match_r = matcher(adj, n_sys)
 
     matched_ref = {u for u in match_r if u != -1}
     un_ref = [i for i in range(n_ref) if i not in matched_ref]
@@ -144,7 +170,7 @@ def event_scores(
         ]
         for i in un_ref
     ]
-    subs, _ = _max_bipartite(sub_adj, len(un_sys))
+    subs, _ = matcher(sub_adj, len(un_sys))
 
     deletions = len(un_ref) - subs
     insertions = len(un_sys) - subs

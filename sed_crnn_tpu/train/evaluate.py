@@ -63,9 +63,12 @@ def evaluate_split(
     cfg: ExperimentConfig,
     thresholds: Optional[np.ndarray] = None,
     batch_size: int = 256,
+    event_matching: str = "optimal",
 ) -> Dict:
     """Evaluate one (features, labels) split end to end. Returns metrics at
-    the configured threshold plus the full sweep and best-ER threshold."""
+    the configured threshold plus the full sweep and best-ER threshold.
+    ``event_matching``: "optimal" or "greedy" (sed_eval's exact pairing) for
+    the event-based scores — see `ops/event_metrics.py`."""
     m = cfg.model
     t = cfg.train
     thresholds = DEFAULT_THRESHOLDS if thresholds is None else np.asarray(thresholds)
@@ -95,7 +98,8 @@ def evaluate_split(
     pool = m.seq_len_in // m.seq_len_out
     frame_hop_s = cfg.frontend.hop_length * pool / cfg.frontend.sample_rate
     ev = event_scores_from_rolls(
-        np.asarray(flat_p), np.asarray(flat_y), frame_hop_s, threshold=t.threshold
+        np.asarray(flat_p), np.asarray(flat_y), frame_hop_s,
+        threshold=t.threshold, matching=event_matching,
     )
 
     # Absent classes are masked to None instead of NaN/inf leaking into JSON.

@@ -218,3 +218,46 @@ def test_long_collar_chain_no_recursion_error():
     sys = [(0.05 * i + 0.01, 0.05 * i + 0.05, 0) for i in range(n)]
     s = event_scores(ref, sys)
     assert s["tp"] == n and s["er_event"] == 0.0
+
+
+def test_greedy_matching_mirrors_sed_eval_order_dependence():
+    """matching="greedy" reproduces sed_eval's first-eligible-in-list-order
+    pairing: ref r0 (eligible for both sys events) consumes the one r1
+    needs, so greedy finds 1 TP where the optimal default finds 2."""
+    ref = [(1.0, 1.3, 0), (1.1, 1.4, 0)]
+    sys = [
+        (1.05, 1.35, 0),  # within 0.2 s of BOTH refs
+        (0.85, 1.15, 0),  # within 0.2 s of r0 only
+    ]
+    greedy = event_scores(ref, sys, t_collar=0.2, matching="greedy")
+    optimal = event_scores(ref, sys, t_collar=0.2)
+    assert greedy["tp"] == 1 and greedy["deletions"] == 1
+    assert greedy["insertions"] == 1
+    assert optimal["tp"] == 2 and optimal["er_event"] == 0.0
+    assert greedy["er_event"] == 1.0  # (0 S + 1 D + 1 I) / 2
+
+
+def test_greedy_equals_optimal_on_separated_scenes(rng):
+    """On well-separated event tracks (one candidate per collar) the two
+    matchers agree exactly — the typical evaluation regime."""
+    for trial in range(20):
+        ref, sys = [], []
+        t = 0.0
+        for k in range(15):
+            t += 1.0 + rng.uniform(0, 0.5)
+            cls = int(rng.integers(0, 3))
+            ref.append((t, t + 0.4, cls))
+            if rng.random() < 0.8:  # detected, maybe jittered or relabeled
+                jitter = rng.uniform(-0.15, 0.15)
+                sys_cls = cls if rng.random() < 0.8 else (cls + 1) % 3
+                sys.append((t + jitter, t + 0.4 + jitter, sys_cls))
+            if rng.random() < 0.2:  # spurious far-away insertion
+                sys.append((t + 0.7, t + 0.9, cls))
+        g = event_scores(ref, sys, t_collar=0.2, matching="greedy")
+        o = event_scores(ref, sys, t_collar=0.2)
+        assert g == o, (trial, g, o)
+
+
+def test_event_scores_rejects_unknown_matching():
+    with pytest.raises(ValueError, match="matching"):
+        event_scores([], [], matching="fastest")
