@@ -3,16 +3,22 @@ B=128 vs B=256.
 
 Round-2 measured inverse batch scaling on the v1 epoch program (B=128
 3.23 ms/step -> B=256 8.08 -> B=512 17.1, docs/ROADMAP.md) and asserted
-"larger batches spill" without a profile. This script captures
-`jax.profiler.trace` for a fixed-step epoch at both batch sizes, parses the
-trace protobuf-JSON, aggregates device-stream op durations by HLO name, and
-prints the ops whose cost grows superlinearly (>2.2x for a 2x batch) — the
-actual spill sites.
+"larger batches spill" without a profile. Round-3 decomposed it first
+(/tmp recheck runs, recorded in ROADMAP): with the default threefry PRNG
+the program scales LINEARLY (6.37/6.60/6.84 ms per 128 windows at
+B=128/256/512); only the rbg fast-PRNG program (what bench/apps use,
+`core/runtime.py::use_fast_prng`) degrades per window (3.67/4.30/4.44 —
++17% at B=256). This script therefore profiles the rbg program — pass
+--no-fast-prng for the threefry baseline — capturing `jax.profiler.trace`
+at both batch sizes, aggregating device-stream op durations by HLO name,
+and printing the ops whose cost grows superlinearly (>2.2x for a 2x
+batch).
 
 Run (fresh process, real TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_batch_spill.py
 """
 
+import argparse
 import glob
 import gzip
 import json
@@ -93,7 +99,16 @@ def device_op_totals(trace_dir):
 
 
 def main():
-    log(f"device: {jax.devices()[0]}")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-fast-prng", action="store_true",
+                    help="profile the threefry baseline instead of the rbg "
+                         "fast-PRNG program that bench/apps run")
+    args = ap.parse_args()
+    if not args.no_fast_prng:
+        from sed_crnn_tpu.core.runtime import use_fast_prng
+
+        use_fast_prng()
+    log(f"device: {jax.devices()[0]}  prng={'threefry' if args.no_fast_prng else 'rbg'}")
     res = {}
     for batch in (128, 256):
         per_step, trace_dir = run_epoch(batch)

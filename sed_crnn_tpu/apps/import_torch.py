@@ -69,7 +69,8 @@ def main(argv=None):
                           "legacy HDF5 and modern keras files both work)")
     ap.add_argument("--preset", default="timepooled-v2",
                     help="timepooled-v1 | timepooled-v2 for torch sources; "
-                         "sednet-dcase[-binaural] for keras sources")
+                         "sednet-dcase-keras (exact keras-2.2.4 hard_sigmoid "
+                         "cell) or sednet-dcase[-binaural] for keras sources")
     ap.add_argument("--out", required=True, help="output .npz checkpoint path")
     args = ap.parse_args(argv)
     source = "keras" if args.keras_ckpt else "torch"

@@ -216,7 +216,9 @@ def _timepooled_v2() -> ExperimentConfig:
     )
 
 
-def _sednet_dcase(in_channels: int = 1, n_classes: int = 6) -> ExperimentConfig:
+def _sednet_dcase(
+    in_channels: int = 1, n_classes: int = 6, gate_activation: str = "sigmoid"
+) -> ExperimentConfig:
     return ExperimentConfig(
         name="sednet-dcase",
         frontend=FrontendConfig(),
@@ -231,6 +233,7 @@ def _sednet_dcase(in_channels: int = 1, n_classes: int = 6) -> ExperimentConfig:
             dropout=0.5,
             dropout_per_block=True,
             gru_hidden=(32, 32),
+            gru_gate_activation=gate_activation,
             head_dims=(16, n_classes),
             head_activation="none",
         ),
@@ -250,6 +253,10 @@ PRESETS = {
     "timepooled-v2": _timepooled_v2,
     "sednet-dcase": _sednet_dcase,
     "sednet-dcase-binaural": lambda: _sednet_dcase(in_channels=2),
+    # Exact keras-2.2.4 cell numerics (hard_sigmoid recurrent gates) — the
+    # right preset for checkpoints imported from the keras SEDnet lineage
+    # via models/transplant.py::load_keras_checkpoint.
+    "sednet-dcase-keras": lambda: _sednet_dcase(gate_activation="hard_sigmoid"),
 }
 
 

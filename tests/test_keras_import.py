@@ -348,3 +348,75 @@ def test_keras_import_rejects_mismatched_preset(tmp_path, rng):
     binaural = get_preset("sednet-dcase-binaural")
     with pytest.raises(ValueError, match="conv block 0"):
         load_keras_checkpoint(path, binaural.model)
+
+
+def test_keras_preset_and_import_cli_roundtrip(tmp_path, rng):
+    """The sednet-dcase-keras preset carries hard_sigmoid gates (no warning
+    on import), and the import CLI writes a framework checkpoint that loads
+    and runs."""
+    import warnings
+
+    from sed_crnn_tpu.apps.import_torch import import_checkpoint
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+
+    cfg = get_preset("sednet-dcase-keras")
+    assert cfg.model.gru_gate_activation == "hard_sigmoid"
+    kmodel = _build_keras_sednet(cfg, rng)
+    src = str(tmp_path / "sednet.keras")
+    kmodel.save(src)
+
+    out = str(tmp_path / "imported.npz")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # hard_sigmoid preset: no gate warning
+        import_checkpoint(src, "sednet-dcase-keras", out, source="keras")
+
+    tree, meta = ckpt_io.load_checkpoint(out)
+    assert meta["preset"] == "sednet-dcase-keras"
+    model = get_model(cfg.model)
+    x = rng.standard_normal((1, 256, 40)).astype(np.float32)
+    logits, _, _ = model.apply(
+        tree["params"], tree["model_state"], jnp.asarray(x), Ctx(train=False)
+    )
+    assert logits.shape == (1, 256, 6)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_keras_imported_sednet_streams(tmp_path, rng):
+    """Tie-in: a keras-imported SEDnet (scaled widths for CPU speed) served
+    through lookahead streaming stays close to keras's own full-sequence
+    inference — migration and the streaming runtime compose."""
+    import dataclasses
+
+    from sed_crnn_tpu.models.streaming import stream_probabilities
+
+    cfg = get_preset("sednet-dcase-keras")
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, seq_len_in=64, conv_channels=(8, 8, 8), gru_hidden=(4, 4),
+            head_dims=(5, 6),
+        )
+    )
+    kmodel = _build_keras_sednet(cfg, rng)
+    path = str(tmp_path / "sednet_small.keras")
+    kmodel.save(path)
+    params, state = load_keras_checkpoint(path, cfg.model)
+    model = get_model(cfg.model)
+
+    n_chunks = 4
+    mel = rng.standard_normal((64 * n_chunks, 40)).astype(np.float32)
+    look = stream_probabilities(model, params, state, mel, lookahead=True)
+
+    # keras full-sequence oracle needs a matching-length model: rebuild the
+    # functional graph at the full length with the SAME layer weights.
+    full_cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, seq_len_in=64 * n_chunks)
+    )
+    kfull = _build_keras_sednet(full_cfg, rng)
+    kfull.set_weights(kmodel.get_weights())
+    k_probs = 1.0 / (1.0 + np.exp(-np.asarray(kfull(mel[None, ..., None],
+                                                    training=False))[0]))
+    assert look.shape == k_probs.shape
+    # bounded divergence: conv zero-padding at chunk edges + truncated
+    # right context; planted-scale inputs keep this small
+    assert np.abs(look - k_probs).mean() < 0.05
+    assert np.abs(look - k_probs).max() < 0.4
