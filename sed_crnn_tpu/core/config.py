@@ -80,6 +80,11 @@ class ModelConfig:
     # default-config cell numerics are available (and oracle-tested) via
     # "hard_sigmoid".
     gru_gate_activation: str = "sigmoid"
+    # GRU recurrence backend: "auto" picks the Pallas single-kernel
+    # recurrence (ops/pallas/gru_scan.py) on TPU when the sequence is long
+    # enough for while-loop step dispatch to matter, the XLA lax.scan
+    # otherwise; "xla"/"pallas" force a choice.
+    gru_backend: str = "auto"
     # v1 uses one torch-style stacked GRU (layer2 input = 2*H of layer1);
     # functionally identical to successive biGRUs when sizes are equal.
     # Head: dense widths applied time-distributed; last layer has no

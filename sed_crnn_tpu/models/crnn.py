@@ -88,6 +88,16 @@ class CRNN:
 
     def _grus(self):
         reset_after = self.cfg.name != "sednet"  # legacy keras convention
+        backend = getattr(self.cfg, "gru_backend", "auto")
+        if backend == "auto":
+            # The Pallas recurrence eliminates per-timestep while-loop
+            # dispatch; that only matters for long sequences (the 256-frame
+            # SEDnet). Short windows (T=8, timepooled) stay on lax.scan,
+            # as does every non-TPU backend (interpreted Pallas is for
+            # parity tests, not compute).
+            long_seq = self.seq_len_out >= 64
+            on_tpu = jax.default_backend() == "tpu"
+            backend = "pallas" if (long_seq and on_tpu) else "xla"
         grus, in_dim = [], self.flat_dim
         for h in self.cfg.gru_hidden:
             grus.append(
@@ -96,6 +106,7 @@ class CRNN:
                     h,
                     reset_after=reset_after,
                     gate_activation=self.cfg.gru_gate_activation,
+                    backend=backend,
                 )
             )
             in_dim = 2 * h

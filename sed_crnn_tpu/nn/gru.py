@@ -46,6 +46,13 @@ class GRU:
     hidden: int
     reset_after: bool = True
     gate_activation: str = "sigmoid"
+    unroll: int = 1
+    # "xla": lax.scan recurrence (default; best for short sequences).
+    # "pallas": single-kernel VMEM-resident recurrence with a custom-VJP
+    # backward kernel (ops/pallas/gru_scan.py) — wins when T is large
+    # enough that while-loop step dispatch dominates (the 256-frame SEDnet).
+    # Falls back to the scan when the residuals would not fit VMEM.
+    backend: str = "xla"
 
     def init(self, key, dtype=jnp.float32):
         ks = jax.random.split(key, 4)
@@ -75,6 +82,24 @@ class GRU:
 
         # One big GEMM for every timestep's input projection.
         xp = jnp.dot(x, params["wi"]) + params["bi"]      # (B, T, 3H)
+
+        if self.backend == "pallas":
+            from sed_crnn_tpu.ops.pallas import gru_scan as _pk
+
+            if _pk.fits_vmem(T, B, H, self.reset_after):
+                ys, h_last = _pk.gru_scan(
+                    xp,
+                    params["wh"],
+                    params.get("bh"),
+                    h0,
+                    reset_after=self.reset_after,
+                    gate_activation=self.gate_activation,
+                    reverse=reverse,
+                )
+                return ys, h_last
+        elif self.backend != "xla":
+            raise ValueError(f"unknown GRU backend {self.backend!r}")
+
         xp = jnp.swapaxes(xp, 0, 1)                       # (T, B, 3H) scan-major
         wh = params["wh"]
         bh = params.get("bh")
@@ -97,10 +122,10 @@ class GRU:
             h_new = (1.0 - z) * n + z * h
             return h_new, h_new
 
-        # Plain scan: unrolling was measured to give no speedup here (the
-        # epoch program is conv-bound) while its different op scheduling
-        # perturbs numerics across program variants (streaming vs windowed).
-        h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse)
+        # `unroll` trades while-loop iteration overhead for program size; it
+        # does not change the math. Round-1 measured no win at T=8 (v1); the
+        # knob exists for the T=256 SEDnet recurrence.
+        h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse, unroll=self.unroll)
         return jnp.swapaxes(ys, 0, 1), h_last             # (B, T, H)
 
 
@@ -112,10 +137,19 @@ class BiGRU:
     hidden: int
     reset_after: bool = True
     gate_activation: str = "sigmoid"
+    unroll: int = 1
+    backend: str = "xla"
 
     @property
     def _cell(self) -> GRU:
-        return GRU(self.in_dim, self.hidden, self.reset_after, self.gate_activation)
+        return GRU(
+            self.in_dim,
+            self.hidden,
+            self.reset_after,
+            self.gate_activation,
+            self.unroll,
+            self.backend,
+        )
 
     def init(self, key, dtype=jnp.float32):
         kf, kb = jax.random.split(key)
