@@ -144,7 +144,14 @@ def bench_tpu():
     # headline workflow, README.md:55-58) -------------------------------
     from sed_crnn_tpu.data.rasterize import rasterize_events
 
+    # bf16 conv trunk, same justification as v1 above (the reference's
+    # 'medium' matmul precision); scripts/sednet_bf16_ab.py measured 1.71x
+    # with loss trajectories matching f32 to 1e-4 over 6 epochs. The GRU
+    # recurrence runs the Pallas kernel (gru_backend auto on TPU) in f32.
     exp_s = get_preset("sednet-dcase")
+    exp_s = exp_s.replace(
+        model=dataclasses.replace(exp_s.model, compute_dtype="bfloat16")
+    )
     frames_s = 60_000
     ev = [(t, t + 0.4, int(t) % 6) for t in np.arange(3.0, frames_s / FRAMES_PER_SEC - 5, 4.0)]
     lab_s = rasterize_events(
