@@ -62,6 +62,13 @@ def fits_vmem(T: int, B: int, H: int, reset_after: bool) -> bool:
     return vmem_bytes_estimate(T, B, H, reset_after) <= _VMEM_BUDGET
 
 
+def res_width(reset_after: bool, H: int) -> int:
+    """Lane width of the packed residual row: r|z|n, plus the projected
+    candidate ``hn`` when ``reset_after`` (stored so the backward kernel
+    never recomputes the recurrent matmuls)."""
+    return 4 * H if reset_after else 3 * H
+
+
 def _gate_fn(name: str):
     if name == "sigmoid":
         return jax.nn.sigmoid
@@ -300,10 +307,6 @@ def _gru_bwd(reset_after, gate_name, reverse, saved, cot):
     if not reset_after:
         dbh = jnp.zeros_like(dbh)
     return dxp, dwh, dbh, dh0
-
-
-def res_width(reset_after: bool, H: int) -> int:
-    return 4 * H if reset_after else 3 * H
 
 
 gru_scan_tc.defvjp(_gru_fwd, _gru_bwd)
