@@ -93,6 +93,13 @@ class ModelConfig:
     head_activation: str = "none"   # activation between head layers
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
+    # Weight init follows the reference generation the preset mirrors:
+    # "torch" (uniform fan-in, sed.py/Lightning lineage) or "keras"
+    # (glorot kernels + orthogonal recurrent + zero bias, the keras-2.2
+    # SEDnet lineage). The orthogonal recurrent kernel measurably speeds
+    # SEDnet convergence (scripts/parity_sednet_keras.py), so this is a
+    # dynamics-parity knob, not a cosmetic one.
+    init_scheme: str = "torch"
     dtype: str = "float32"          # parameter dtype
     compute_dtype: str = "float32"  # activation dtype (bfloat16 for speed)
 
@@ -241,6 +248,7 @@ def _sednet_dcase(
             gru_gate_activation=gate_activation,
             head_dims=(16, n_classes),
             head_activation="none",
+            init_scheme="keras",
         ),
         train=TrainConfig(
             loss="bce",

@@ -75,10 +75,11 @@ class CRNN:
         cfg = self.cfg
         blocks = []
         in_ch = cfg.in_channels
+        scheme = getattr(cfg, "init_scheme", "torch")
         for out_ch, p in zip(cfg.conv_channels, cfg.pool):
             blocks.append(
                 (
-                    Conv2d(in_ch, out_ch, cfg.kernel_size),
+                    Conv2d(in_ch, out_ch, cfg.kernel_size, init_scheme=scheme),
                     BatchNorm2d(out_ch, cfg.bn_eps, cfg.bn_momentum),
                     (1, p),
                 )
@@ -98,6 +99,7 @@ class CRNN:
             long_seq = self.seq_len_out >= 64
             on_tpu = jax.default_backend() == "tpu"
             backend = "pallas" if (long_seq and on_tpu) else "xla"
+        scheme = getattr(self.cfg, "init_scheme", "torch")
         grus, in_dim = [], self.flat_dim
         for h in self.cfg.gru_hidden:
             grus.append(
@@ -107,6 +109,7 @@ class CRNN:
                     reset_after=reset_after,
                     gate_activation=self.cfg.gru_gate_activation,
                     backend=backend,
+                    init_scheme=scheme,
                 )
             )
             in_dim = 2 * h
@@ -114,9 +117,10 @@ class CRNN:
 
     def _head(self):
         dims, layers = self.cfg.head_dims, []
+        scheme = getattr(self.cfg, "init_scheme", "torch")
         in_dim = 2 * self.cfg.gru_hidden[-1]
         for d in dims:
-            layers.append(Dense(in_dim, d))
+            layers.append(Dense(in_dim, d, init_scheme=scheme))
             in_dim = d
         return layers
 

@@ -53,11 +53,37 @@ class GRU:
     # enough that while-loop step dispatch dominates (the 256-frame SEDnet).
     # Falls back to the scan when the residuals would not fit VMEM.
     backend: str = "xla"
+    # "torch": uniform +-1/sqrt(H) everywhere (cuDNN/torch convention, the
+    # reference sed.py/Lightning lineage). "keras": glorot input kernel,
+    # semi-orthogonal recurrent kernel, zero bias (keras defaults — the
+    # keras-2.2 SEDnet lineage). Orthogonal recurrent init measurably
+    # speeds convergence at SEDnet depth (scripts/parity_sednet_keras.py),
+    # so dynamics parity with each reference generation needs ITS scheme.
+    init_scheme: str = "torch"
 
     def init(self, key, dtype=jnp.float32):
         ks = jax.random.split(key, 4)
-        bound = 1.0 / jnp.sqrt(self.hidden)
         h3 = 3 * self.hidden
+
+        if self.init_scheme == "keras":
+            from sed_crnn_tpu.nn.layers import glorot_uniform
+
+            # keras Orthogonal: QR of a normal draw, sign-fixed by diag(R);
+            # rows of the (H, 3H) recurrent kernel come out orthonormal.
+            a = jax.random.normal(ks[1], (h3, self.hidden), jnp.float32)
+            q, r = jnp.linalg.qr(a)
+            q = q * jnp.sign(jnp.diagonal(r))
+            params = {
+                "wi": glorot_uniform(ks[0], (self.in_dim, h3),
+                                     self.in_dim, h3, dtype),
+                "wh": q.T.astype(dtype),
+                "bi": jnp.zeros((h3,), dtype),
+            }
+            if self.reset_after:
+                params["bh"] = jnp.zeros((h3,), dtype)
+            return params
+
+        bound = 1.0 / jnp.sqrt(self.hidden)
 
         def u(k, shape):
             return jax.random.uniform(k, shape, dtype, minval=-bound, maxval=bound)
@@ -139,6 +165,7 @@ class BiGRU:
     gate_activation: str = "sigmoid"
     unroll: int = 1
     backend: str = "xla"
+    init_scheme: str = "torch"
 
     @property
     def _cell(self) -> GRU:
@@ -149,6 +176,7 @@ class BiGRU:
             self.gate_activation,
             self.unroll,
             self.backend,
+            self.init_scheme,
         )
 
     def init(self, key, dtype=jnp.float32):

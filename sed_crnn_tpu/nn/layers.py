@@ -17,6 +17,8 @@ import dataclasses
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -43,13 +45,31 @@ def _uniform(key, shape, bound, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
+def glorot_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
+    """keras default kernel initializer: U(+-sqrt(6/(fan_in+fan_out)))."""
+    bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return _uniform(key, shape, bound, dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class Dense:
+    # init scheme: "torch" (uniform +-1/sqrt(fan_in), the reference
+    # `sed.py`/Lightning lineage) or "keras" (glorot kernel, zero bias —
+    # the keras-2.2 SEDnet lineage). Training-dynamics parity with each
+    # reference generation requires matching ITS init (measured:
+    # scripts/parity_sednet_keras.py).
     in_dim: int
     out_dim: int
+    init_scheme: str = "torch"
 
     def init(self, key, dtype=jnp.float32):
         kw, kb = jax.random.split(key)
+        if self.init_scheme == "keras":
+            return {
+                "w": glorot_uniform(kw, (self.in_dim, self.out_dim),
+                                    self.in_dim, self.out_dim, dtype),
+                "b": jnp.zeros((self.out_dim,), dtype),
+            }
         bound = 1.0 / jnp.sqrt(self.in_dim)
         return {
             "w": _uniform(kw, (self.in_dim, self.out_dim), bound, dtype),
@@ -68,11 +88,19 @@ class Conv2d:
     out_ch: int
     kernel: Tuple[int, int] = (3, 3)
     padding: str = "SAME"
+    init_scheme: str = "torch"      # see Dense.init_scheme
 
     def init(self, key, dtype=jnp.float32):
         kw, kb = jax.random.split(key)
         kh, kw_ = self.kernel
         fan_in = self.in_ch * kh * kw_
+        if self.init_scheme == "keras":
+            fan_out = self.out_ch * kh * kw_
+            return {
+                "w": glorot_uniform(kw, (kh, kw_, self.in_ch, self.out_ch),
+                                    fan_in, fan_out, dtype),
+                "b": jnp.zeros((self.out_ch,), dtype),
+            }
         bound = 1.0 / jnp.sqrt(fan_in)
         return {
             "w": _uniform(kw, (kh, kw_, self.in_ch, self.out_ch), bound, dtype),

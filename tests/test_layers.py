@@ -171,3 +171,42 @@ def test_maxpool_backward_ties_go_to_first_element():
         expect[0] = 1.0
         expect[pw] = 1.0
         np.testing.assert_array_equal(g, expect)
+
+
+def test_keras_init_scheme():
+    """The keras-lineage init: glorot kernels with zero biases for
+    conv/dense, and a semi-orthogonal GRU recurrent kernel (orthonormal
+    rows) with zero biases — the keras-2.2 defaults the flagship SEDnet
+    trained under. Measured to change convergence speed materially
+    (scripts/parity_sednet_keras.py), so it is pinned by test."""
+    from sed_crnn_tpu.nn.gru import GRU
+    from sed_crnn_tpu.nn.layers import Dense
+
+    key = jax.random.PRNGKey(0)
+    conv = Conv2d(8, 16, (3, 3), init_scheme="keras").init(key)
+    assert np.all(np.asarray(conv["b"]) == 0)
+    bound = np.sqrt(6.0 / (8 * 9 + 16 * 9))
+    w = np.asarray(conv["w"])
+    assert np.abs(w).max() <= bound and np.abs(w).max() > 0.8 * bound
+
+    dense = Dense(10, 4, init_scheme="keras").init(key)
+    assert np.all(np.asarray(dense["b"]) == 0)
+    assert np.abs(np.asarray(dense["w"])).max() <= np.sqrt(6.0 / 14)
+
+    cell = GRU(12, 6, reset_after=False, init_scheme="keras")
+    p = cell.init(key)
+    wh = np.asarray(p["wh"])  # (H, 3H), rows orthonormal
+    np.testing.assert_allclose(wh @ wh.T, np.eye(6), atol=1e-5)
+    assert np.all(np.asarray(p["bi"]) == 0)
+
+    # the sednet presets carry the scheme end to end
+    from sed_crnn_tpu.core.config import get_preset
+    from sed_crnn_tpu.models import get_model
+
+    model = get_model(get_preset("sednet-dcase").model)
+    params, _ = model.init(key)
+    assert np.all(np.asarray(params["conv"][0]["b"]) == 0)
+    g0 = params["gru"][0]["fwd"]["wh"]
+    np.testing.assert_allclose(
+        np.asarray(g0) @ np.asarray(g0).T, np.eye(32), atol=1e-5
+    )
