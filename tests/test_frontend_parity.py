@@ -41,6 +41,28 @@ def test_mel_filterbank_matches_oracle():
     assert (fb.sum(axis=1) > 0).all()
 
 
+def test_oracle_stft_cross_checked_by_torch(rng):
+    """Validate the hand-written oracle ITSELF against torch.stft — an
+    independent third implementation of the same semantics (centered
+    reflect pad, periodic Hann, one-sided power spectrum). librosa is not
+    installed here, so this pins the oracle's trustworthiness."""
+    torch = pytest.importorskip("torch")
+    y = _tone_mix(rng, 44100 + 999).astype(np.float64)
+    ref = oracle_stft_power(y)
+    spec = torch.stft(
+        torch.from_numpy(y),
+        n_fft=2048,
+        hop_length=1024,
+        window=torch.hann_window(2048, periodic=True, dtype=torch.float64),
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    )
+    got = (spec.abs() ** 2).numpy().T  # (freq, frames) -> (frames, freq)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=1e-12)
+
+
 def test_frame_count_matches_oracle(rng):
     for n in [2048, 44100, 44100 * 2 + 777]:
         y = _tone_mix(rng, n)
