@@ -3,8 +3,8 @@
 // Role: the CPU-side featurizer/oracle the reference delegates to librosa's
 // C innards for (reference feature.py:55-59) — here self-contained C++ with
 // no external dependencies: reflect-padded framing, periodic Hann window,
-// iterative radix-2 FFT (n_fft must be a power of two; 2048 in all presets),
-// Slaney-scale area-normalized mel filterbank, natural log. Double-precision
+// iterative radix-2 FFT with a Bluestein chirp-z fallback for arbitrary
+// n_fft, Slaney-scale area-normalized mel filterbank, natural log. Double-precision
 // math throughout so it doubles as a bit-trustworthy parity oracle for the
 // device kernels. Exposed as a C ABI for ctypes (no pybind11 in this image).
 //
@@ -22,7 +22,7 @@ constexpr double kPi = 3.14159265358979323846;
 
 // ---------------------------------------------------------------- FFT ----
 // Iterative radix-2 Cooley-Tukey over interleaved (re, im) pairs.
-void fft_inplace(double* re, double* im, int n) {
+void fft_pow2_inplace(double* re, double* im, int n) {
   // bit reversal
   for (int i = 1, j = 0; i < n; ++i) {
     int bit = n >> 1;
@@ -51,6 +51,57 @@ void fft_inplace(double* re, double* im, int n) {
         cre = ncre;
       }
     }
+  }
+}
+
+// Bluestein's chirp-z transform: DFT of arbitrary length n as a circular
+// convolution of size m = next power of two >= 2n-1, so the oracle accepts
+// any n_fft (the device paths never had the radix-2 restriction). Angles use
+// k^2 mod 2n to stay exact for large k (pi*k^2/n is periodic in 2n).
+void fft_bluestein(double* re, double* im, int n) {
+  int m = 1;
+  while (m < 2 * n - 1) m <<= 1;
+  std::vector<double> are(m, 0.0), aim(m, 0.0), bre(m, 0.0), bim(m, 0.0);
+  std::vector<double> cre(n), cim(n);  // chirp c_k = exp(-i*pi*k^2/n)
+  for (int k = 0; k < n; ++k) {
+    const double ang = kPi * static_cast<double>(
+        (static_cast<int64_t>(k) * k) % (2 * n)) / n;
+    cre[k] = std::cos(ang);
+    cim[k] = -std::sin(ang);
+    // a_k = x_k * c_k
+    are[k] = re[k] * cre[k] - im[k] * cim[k];
+    aim[k] = re[k] * cim[k] + im[k] * cre[k];
+    // b_k = conj(c_k), wrapped circularly for negative lags
+    bre[k] = cre[k];
+    bim[k] = -cim[k];
+    if (k > 0) {
+      bre[m - k] = bre[k];
+      bim[m - k] = bim[k];
+    }
+  }
+  fft_pow2_inplace(are.data(), aim.data(), m);
+  fft_pow2_inplace(bre.data(), bim.data(), m);
+  for (int k = 0; k < m; ++k) {  // pointwise product
+    const double r = are[k] * bre[k] - aim[k] * bim[k];
+    aim[k] = are[k] * bim[k] + aim[k] * bre[k];
+    are[k] = r;
+  }
+  // inverse FFT via conjugation
+  for (int k = 0; k < m; ++k) aim[k] = -aim[k];
+  fft_pow2_inplace(are.data(), aim.data(), m);
+  for (int k = 0; k < n; ++k) {
+    const double vr = are[k] / m, vi = -aim[k] / m;
+    // X_k = c_k * (a (*) b)_k
+    re[k] = vr * cre[k] - vi * cim[k];
+    im[k] = vr * cim[k] + vi * cre[k];
+  }
+}
+
+void fft_inplace(double* re, double* im, int n) {
+  if ((n & (n - 1)) == 0) {
+    fft_pow2_inplace(re, im, n);
+  } else {
+    fft_bluestein(re, im, n);
   }
 }
 
@@ -109,8 +160,7 @@ int64_t logmel_num_frames(int64_t n_samples, int n_fft, int hop, int center) {
 int64_t logmel_extract(const float* pcm, int64_t n_samples, int sr, int n_fft,
                        int hop, int n_mels, int center, double log_floor,
                        float* out) {
-  if (n_fft <= 0 || (n_fft & (n_fft - 1)) != 0 || hop <= 0 || n_mels <= 0)
-    return -1;
+  if (n_fft <= 0 || hop <= 0 || n_mels <= 0) return -1;
   const int64_t n_frames = logmel_num_frames(n_samples, n_fft, hop, center);
   if (n_frames <= 0) return 0;
   const int n_bins = n_fft / 2 + 1;

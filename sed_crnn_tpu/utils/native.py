@@ -87,7 +87,8 @@ def log_mel_native(
     )
     if written < 0:
         raise ValueError(
-            f"native logmel rejected arguments (n_fft={n_fft} must be a power of two)"
+            f"native logmel rejected arguments (n_fft={n_fft}, hop={hop}, "
+            f"n_mels={n_mels} must all be positive)"
         )
     return out[:written]
 

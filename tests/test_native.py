@@ -40,9 +40,25 @@ def test_native_logmel_floor_and_silence(built):
     assert np.isneginf(out_parity).all()
 
 
-def test_native_rejects_non_power_of_two(built):
-    with pytest.raises(ValueError, match="power of two"):
-        native.log_mel_native(np.zeros(4096, np.float32), n_fft=1000)
+def test_native_rejects_nonpositive_args(built):
+    with pytest.raises(ValueError, match="positive"):
+        native.log_mel_native(np.zeros(4096, np.float32), n_fft=-4)
+
+
+def test_native_non_power_of_two_nfft_matches_oracle(built, rng):
+    """Arbitrary n_fft runs through the Bluestein chirp-z path and must match
+    the scipy oracle as tightly as the radix-2 path does."""
+    from tests.oracle.librosa_ref import oracle_log_mel
+
+    t = np.arange(44100) / 44100.0
+    y = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+    for n_fft in (1000, 1536):
+        hop = n_fft // 2
+        got = native.log_mel_native(y, n_fft=n_fft, hop=hop)
+        ref = oracle_log_mel(y, n_fft=n_fft, hop=hop)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
 
 
 def test_native_wav_reader_matches_python(built, tmp_path, rng):
