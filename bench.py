@@ -194,8 +194,49 @@ def bench_tpu():
     log(f"sednet train: {sed_steps} steps x 128 seq256, {sed_dt*1e3:.1f} ms/epoch "
         f"-> {sed_rate:,.0f} audio-sec/sec")
 
+    # ---- serving: streaming inference throughput on the flagship --------
+    # Long-recording chunked-scan inference with carried GRU state (the
+    # serving path of apps/infer.py), flagship SEDnet, 40 min of audio per
+    # call. Calls are queued back to back with ONE host fetch at the end,
+    # as a serving loop would pipeline them.
+    from sed_crnn_tpu.models.streaming import stream_logits
+
+    model_s = trainer_s.model
+    stream_frames = 103_000  # ~40 min at 43 fps
+    mel_long = jnp.asarray(rng.standard_normal((stream_frames, 40)), jnp.float32)
+    stream_reps = 8
+
+    def run_stream(tag):
+        acc = 0.0
+        for r in range(stream_reps):
+            logits = stream_logits(
+                model_s, state_s.params, state_s.model_state,
+                mel_long * (1.0 + 1e-7 * (tag + r)), False,
+            )
+            acc = acc + jnp.sum(logits)
+        return float(acc)
+
+    # Guarded: a failure in the serving-side extra must never cost the
+    # headline pipeline metric.
+    try:
+        run_stream(0)  # compile + warm
+        times = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            run_stream(100 * (r + 1))
+            times.append(time.perf_counter() - t0)
+        stream_dt = min(times) / stream_reps
+        stream_audio = stream_frames / FRAMES_PER_SEC
+        stream_rate = stream_audio / stream_dt
+        log(f"sednet streaming infer: {stream_dt*1e3:.1f} ms / {stream_audio:.0f}s audio "
+            f"-> {stream_rate:,.0f} audio-sec/sec")
+    except Exception as e:  # pragma: no cover - defensive
+        log(f"sednet streaming infer FAILED (non-fatal): {e!r}")
+        stream_rate = 0.0
+
     pipeline_rate = 1.0 / (1.0 / best_feat_rate + 1.0 / train_rate)
-    return pipeline_rate, best_feat_rate, train_rate, sed_rate, sed_compile
+    return (pipeline_rate, best_feat_rate, train_rate, sed_rate, sed_compile,
+            stream_rate)
 
 
 def bench_cpu_reference():
@@ -266,7 +307,8 @@ def bench_cpu_reference():
 
 
 def main():
-    tpu_rate, feat_rate, train_rate, sed_rate, sed_compile = bench_tpu()
+    (tpu_rate, feat_rate, train_rate, sed_rate, sed_compile,
+     stream_rate) = bench_tpu()
     cpu_rate = bench_cpu_reference()
     result = {
         "metric": "feature+train pipeline throughput (timepooled CRNN, 40-mel frontend)",
@@ -279,6 +321,7 @@ def main():
             "cpu_reference_audio_sec_per_sec": round(cpu_rate, 1),
             "sednet256_train_audio_sec_per_sec": round(sed_rate, 1),
             "sednet256_first_epoch_compile_sec": round(sed_compile, 1),
+            "sednet256_streaming_infer_audio_sec_per_sec": round(stream_rate, 1),
         },
     }
     print(json.dumps(result))
