@@ -52,6 +52,77 @@ def test_xlsx_reader(tmp_path):
     ]
 
 
+def _write_workbook(path, sheets):
+    """xlsx with a real workbook part: sheets = [(name, header, rows)].
+    Worksheet parts are numbered in REVERSE so workbook order != part-name
+    order — a reader that ignores workbook.xml picks the wrong first sheet."""
+    import zipfile as _zf
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def sheet_xml(header, rows):
+        def row_xml(r_idx, values):
+            cells = "".join(
+                f'<c r="{chr(65 + c)}{r_idx}" t="inlineStr"><is><t>{v}</t></is></c>'
+                if not isinstance(v, bool) else
+                f'<c r="{chr(65 + c)}{r_idx}" t="b"><v>{int(v)}</v></c>'
+                for c, v in enumerate(values)
+            )
+            return f'<row r="{r_idx}">{cells}</row>'
+
+        return (
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+            + row_xml(1, header)
+            + "".join(row_xml(i + 2, r) for i, r in enumerate(rows))
+            + "</sheetData></worksheet>"
+        )
+
+    n = len(sheets)
+    with _zf.ZipFile(path, "w") as zf:
+        entries = "".join(
+            f'<sheet name="{name}" sheetId="{i+1}" xmlns:r="{rns}" r:id="rId{i+1}"/>'
+            for i, (name, _, _) in enumerate(sheets)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {ns}><sheets>{entries}</sheets></workbook>',
+        )
+        rels = "".join(
+            f'<Relationship Id="rId{i+1}" Type="{rns}/worksheet" '
+            f'Target="worksheets/sheet{n - i}.xml"/>'
+            for i in range(n)
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships '
+            'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f"{rels}</Relationships>",
+        )
+        for i, (_, header, rows) in enumerate(sheets):
+            zf.writestr(f"xl/worksheets/sheet{n - i}.xml", sheet_xml(header, rows))
+
+
+def test_xlsx_sheet_name_resolution_and_booleans(tmp_path):
+    import pytest as _pytest
+
+    p = str(tmp_path / "multi.xlsx")
+    _write_workbook(p, [
+        ("assignments", ["video", "ok"], [["clip0", True], ["clip1", False]]),
+        ("notes", ["memo"], [["ignore me"]]),
+    ])
+    # default = FIRST sheet in workbook order (stored as the HIGHER part
+    # number here, so filename ordering would pick the wrong one)
+    rows = read_xlsx_rows(p)
+    assert rows == [
+        {"video": "clip0", "ok": "TRUE"},
+        {"video": "clip1", "ok": "FALSE"},
+    ]
+    assert read_xlsx_rows(p, sheet="notes") == [{"memo": "ignore me"}]
+    with _pytest.raises(ValueError, match="not found"):
+        read_xlsx_rows(p, sheet="missing")
+
+
 def test_catalog_with_xlsx_assignments(tmp_path, rng):
     media = tmp_path / "media"
     media.mkdir()
