@@ -1,0 +1,147 @@
+"""One-process hardware batch: every pending on-TPU validation in one
+session (the axon tunnel charges ~minutes of session startup per process,
+so all TPU work batches here — see docs/ROADMAP.md "How to measure").
+
+Stages:
+  1. `scripts/serving_demo.py`     — wav corpus -> feature -> train ->
+     streaming infer on a held-out recording -> event scores.
+  2. AOT export check — export the demo's trained v1 checkpoint as a
+     cpu+tpu serving artifact, run the TPU program, assert parity with the
+     live model, time windowed + streaming serving.
+  3. `scripts/flagship_binaural.py` — binaural 4-fold flagship training +
+     jitted full-split eval (threshold sweep, segment + event metrics).
+
+Prints one JSON line per stage (stages also print their own).
+
+  python scripts/hw_batch_r3.py [--skip-binaural]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+))
+
+
+def export_check(work: str) -> dict:
+    import jax
+
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+    from sed_crnn_tpu.core.config import get_preset
+    from sed_crnn_tpu.apps.infer import stats_from_fold
+    from sed_crnn_tpu.models import get_model
+    from sed_crnn_tpu.models.export import ServingArtifact, export_serving
+    from sed_crnn_tpu.nn.layers import Ctx
+
+    art_root = os.path.join(work, "art")
+    run_dir = os.path.join(art_root, sorted(os.listdir(art_root))[-1])
+    ckpt = os.path.join(run_dir, "fold1", "best_fold1.npz")
+    cache = os.path.join(work, "cache")
+
+    cfg = get_preset("timepooled-v1")
+    tree, _ = ckpt_io.load_checkpoint(ckpt)
+    params, state = tree["params"], tree["model_state"]
+    stats = stats_from_fold(cache, 1)
+
+    t0 = time.time()
+    artifact = export_serving(
+        cfg, params, state, norm_stats=stats, preset="timepooled-v1"
+    )
+    path = os.path.join(work, "model.sedart")
+    artifact.save(path)
+    export_sec = time.time() - t0
+
+    loaded = ServingArtifact.load(path)
+    feat = cfg.model.n_mels * cfg.model.in_channels
+    rng = np.random.default_rng(0)
+    raw = rng.standard_normal((64, cfg.model.seq_len_in, feat)).astype(
+        np.float32
+    )
+
+    # Parity: exported program (TPU) vs live model on identical inputs.
+    mean, scale = stats
+    model = get_model(cfg.model)
+    logits, _, _ = model.apply(
+        params, state, ((raw - mean) / scale).astype(np.float32),
+        Ctx(train=False),
+    )
+    want = np.asarray(jax.nn.sigmoid(logits))
+    got = np.asarray(loaded.forward(raw))
+    max_err = float(np.abs(got - want).max())
+
+    # Latency: warm windowed forward (B=64) and streaming step.
+    loaded.forward(raw)  # warm/compile
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        jax.block_until_ready(loaded.forward(raw))
+    fwd_ms = (time.time() - t0) / reps * 1e3
+
+    carry = loaded.stream_init()
+    chunk = raw[0]
+    carry, _ = loaded.stream_step(carry, chunk)  # warm
+    t0 = time.time()
+    for _ in range(reps):
+        carry, probs = loaded.stream_step(carry, chunk)
+    jax.block_until_ready(probs)
+    step_ms = (time.time() - t0) / reps * 1e3
+
+    line = {
+        "stage": "export_check",
+        "artifact_bytes": os.path.getsize(path),
+        "platforms": loaded.meta["platforms"],
+        "export_sec": round(export_sec, 1),
+        "forward_max_abs_err": max_err,
+        "fwd_b64_ms": round(fwd_ms, 3),
+        "stream_step_ms": round(step_ms, 3),
+        "ok": bool(max_err < 2e-5),
+    }
+    print(json.dumps(line))
+    return line
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--work-dir", default="/tmp/serving_demo")
+    p.add_argument("--skip-binaural", action="store_true")
+    p.add_argument("--binaural-epochs", type=int, default=50)
+    args = p.parse_args(argv)
+
+    import jax
+
+    print(json.dumps({"stage": "devices",
+                      "devices": [str(d) for d in jax.devices()]}))
+
+    import serving_demo
+
+    rc_demo = serving_demo.main(["--work-dir", args.work_dir])
+    print(json.dumps({"stage": "serving_demo_rc", "rc": rc_demo}))
+
+    try:
+        export_check(args.work_dir)
+    except Exception as e:  # keep the batch going; report the failure
+        print(json.dumps({"stage": "export_check", "error": repr(e)}))
+
+    if not args.skip_binaural:
+        import flagship_binaural
+
+        rc_bin = flagship_binaural.main(
+            ["--max-epochs", str(args.binaural_epochs)]
+        )
+        print(json.dumps({"stage": "flagship_binaural_rc", "rc": rc_bin}))
+
+    print(json.dumps({"stage": "batch_done"}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

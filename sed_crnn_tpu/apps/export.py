@@ -1,0 +1,80 @@
+"""Export a trained checkpoint as a self-contained AOT serving artifact.
+
+  python -m sed_crnn_tpu.apps.export --checkpoint best_fold1.npz \
+      --preset timepooled-v1 --stats-from /path/to/cache --fold 1 \
+      --out model.sedart
+
+The artifact bundles multi-platform (cpu+tpu) StableHLO programs with the
+weights and the fold's train-split normalization statistics baked in; a
+serving host loads it with `models/export.py::ServingArtifact.load` and
+needs no framework code or checkpoint (new capability — the reference has
+no serving/export path at all, its entry points only train).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True, help="npz checkpoint path")
+    p.add_argument("--preset", default="timepooled-v1")
+    p.add_argument("--out", required=True, help="output artifact path (.sedart)")
+    p.add_argument(
+        "--stats-from",
+        default=None,
+        help="feature-cache dir; folds train-split norm stats into the "
+        "artifact (recommended — serving then takes RAW log-mel features)",
+    )
+    p.add_argument("--fold", type=int, default=1)
+    p.add_argument("--channel-tag", default="mon")
+    p.add_argument(
+        "--platforms",
+        default="cpu,tpu",
+        help="comma-separated lowering platforms (default cpu,tpu)",
+    )
+    args = p.parse_args(argv)
+
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+    from sed_crnn_tpu.core.config import get_preset
+    from sed_crnn_tpu.models.export import export_serving
+
+    cfg = get_preset(args.preset)
+    tree, meta = ckpt_io.load_checkpoint(args.checkpoint)
+    params, state = tree["params"], tree["model_state"]
+
+    norm_stats = None
+    if args.stats_from:
+        from sed_crnn_tpu.apps.infer import stats_from_fold
+
+        norm_stats = stats_from_fold(
+            args.stats_from, args.fold, channel_tag=args.channel_tag
+        )
+
+    artifact = export_serving(
+        cfg,
+        params,
+        state,
+        norm_stats=norm_stats,
+        platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
+        preset=args.preset,
+    )
+    artifact.save(args.out)
+    print(
+        json.dumps(
+            {
+                "artifact": args.out,
+                "bytes": os.path.getsize(args.out),
+                "platforms": artifact.meta["platforms"],
+                "norm_folded": artifact.meta["norm_folded"],
+                "checkpoint_meta": meta,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

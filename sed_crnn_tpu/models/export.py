@@ -1,0 +1,224 @@
+"""AOT serving export: trained checkpoint -> self-contained StableHLO artifact.
+
+The reference has no serving story at all — its only entry points train
+(`/root/reference/sed.py`, `train_lightning.py`); deploying a model means
+shipping the full source tree plus a torch checkpoint. The TPU-native
+equivalent is ahead-of-time export: `jax.export` serializes the jitted
+inference programs to portable StableHLO with the trained weights and the
+fold's normalization statistics baked in as constants, so a serving host
+needs only `jax` and the artifact file — no model code, no config, no
+checkpoint, no framework import.
+
+One artifact (a zip container) carries three exported programs plus a JSON
+metadata block:
+
+  forward(x)            windows (b, T, F*C) float32 -> probs (b, T_out, K);
+                        the batch dimension is SYMBOLIC, so one artifact
+                        serves any batch size without re-export.
+  stream_init()         () -> zero RNN carry (the streaming state pytree)
+  stream_step(carry, chunk)
+                        one chunk of a long recording -> (new_carry,
+                        probs (T_out, K)); chaining calls threads the
+                        forward-GRU hidden state across chunk boundaries
+                        exactly like `models/streaming.py::stream_logits`
+                        (backward state re-zeroed per chunk — bidirectional
+                        RNNs are non-causal).
+
+Programs are lowered for BOTH cpu and tpu by default (multi-platform
+StableHLO), so the same artifact runs on a TPU serving host and on a CPU
+fallback box. The GRU always exports through the portable `lax.scan`
+backend (the Pallas recurrence is a training-throughput device kernel, not
+a portability target).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import zipfile
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_crnn_tpu.core.config import ExperimentConfig, ModelConfig
+from sed_crnn_tpu.models import get_model
+from sed_crnn_tpu.nn.layers import Ctx
+
+_FORMAT = "sed_crnn_tpu.serving/1"
+
+
+def _export_fn(fn, avals: Sequence[jax.ShapeDtypeStruct], platforms):
+    """`jax.export.export` across jax versions (platforms kwarg rename)."""
+    jitted = jax.jit(fn)
+    try:
+        exporter = jax.export.export(jitted, platforms=list(platforms))
+    except TypeError:  # older jax spells it lowering_platforms
+        exporter = jax.export.export(jitted, lowering_platforms=list(platforms))
+    return exporter(*avals)
+
+
+def _zero_carry_arrays(model, params, state, chunk_frames: int):
+    shapes = jax.eval_shape(
+        lambda p, s: model.apply(
+            p, s, jnp.zeros((1, chunk_frames, model.cfg.n_mels * model.cfg.in_channels)),
+            Ctx(train=False),
+        )[2],
+        params,
+        state,
+    )
+    return jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
+
+
+@dataclasses.dataclass
+class ServingArtifact:
+    """A bundle of deserializable exported programs + metadata.
+
+    Call `forward` / `stream_init` / `stream_step` directly; `save` writes
+    the zip container; `load` reads one back (no framework model code runs
+    at load time — only `jax.export.deserialize`).
+    """
+
+    meta: Dict[str, Any]
+    fns: Dict[str, Any]  # name -> jax.export.Exported
+
+    # -- invocation ---------------------------------------------------------
+    def forward(self, windows) -> jax.Array:
+        """(b, T, F*C) float32 windows -> (b, T_out, K) sigmoid probs."""
+        return self.fns["forward"].call(jnp.asarray(windows, jnp.float32))
+
+    def stream_init(self):
+        return self.fns["stream_init"].call()
+
+    def stream_step(self, carry, chunk) -> Tuple[Any, jax.Array]:
+        return self.fns["stream_step"].call(
+            carry, jnp.asarray(chunk, jnp.float32)
+        )
+
+    def stream(self, mel: np.ndarray) -> np.ndarray:
+        """Host loop over chunks: (frames, F*C) -> (out_frames, K) probs,
+        trimmed to the true length like `stream_probabilities`."""
+        chunk = int(self.meta["seq_len_in"])
+        n = mel.shape[0]
+        n_chunks = -(-n // chunk)
+        mel = np.pad(
+            np.asarray(mel, np.float32), ((0, n_chunks * chunk - n), (0, 0))
+        )
+        carry, outs = self.stream_init(), []
+        for k in range(n_chunks):
+            carry, probs = self.stream_step(carry, mel[k * chunk:(k + 1) * chunk])
+            outs.append(np.asarray(probs))
+        pool = chunk // int(self.meta["seq_len_out"])
+        return np.concatenate(outs, axis=0)[: n // pool]
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("meta.json", json.dumps(self.meta, indent=1))
+            for name, exported in self.fns.items():
+                zf.writestr(f"{name}.stablehlo", bytes(exported.serialize()))
+
+    @classmethod
+    def load(cls, path: str) -> "ServingArtifact":
+        fns: Dict[str, Any] = {}
+        with zipfile.ZipFile(path, "r") as zf:
+            meta = json.loads(zf.read("meta.json").decode("utf-8"))
+            if meta.get("format") != _FORMAT:
+                raise ValueError(
+                    f"{path}: not a {_FORMAT} artifact (format="
+                    f"{meta.get('format')!r})"
+                )
+            for info in zf.infolist():
+                if info.filename.endswith(".stablehlo"):
+                    fns[info.filename[: -len(".stablehlo")]] = (
+                        jax.export.deserialize(zf.read(info.filename))
+                    )
+        return cls(meta=meta, fns=fns)
+
+
+def export_serving(
+    cfg: ExperimentConfig,
+    params,
+    state,
+    norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    preset: Optional[str] = None,
+) -> ServingArtifact:
+    """Export the inference surface of a trained model.
+
+    ``norm_stats`` = (mean, scale) over the F*C feature axis — the fold's
+    TRAIN-split statistics (`data/store.py::load_fold_stats`). When given,
+    normalization is folded INTO the exported programs, so callers feed raw
+    log-mel features and cannot pair the model with the wrong statistics.
+    """
+    mcfg: ModelConfig = dataclasses.replace(cfg.model, gru_backend="xla")
+    model = get_model(mcfg)
+    t_in = mcfg.seq_len_in
+    feat = mcfg.n_mels * mcfg.in_channels
+
+    if norm_stats is not None:
+        mean = jnp.asarray(norm_stats[0], jnp.float32).reshape(1, 1, feat)
+        scale = jnp.asarray(norm_stats[1], jnp.float32).reshape(1, 1, feat)
+    else:
+        mean = scale = None
+
+    def _norm(x):
+        return x if mean is None else (x - mean) / scale
+
+    def forward(x):
+        logits, _, _ = model.apply(params, state, _norm(x), Ctx(train=False))
+        return jax.nn.sigmoid(logits)
+
+    carry0 = _zero_carry_arrays(model, params, state, t_in)
+
+    def stream_init():
+        return carry0
+
+    def stream_step(carry, chunk):
+        x = _norm(chunk[None])
+        logits, _, new_carry = model.apply(
+            params, state, x, Ctx(train=False), rnn_carry=carry
+        )
+        new_carry = [
+            {"fwd": c["fwd"], "bwd": z["bwd"]}
+            for c, z in zip(new_carry, carry0)
+        ]
+        return new_carry, jax.nn.sigmoid(logits[0])
+
+    b = jax.export.symbolic_shape("b")[0]
+    f32 = jnp.float32
+    fns = {
+        "forward": _export_fn(
+            forward, [jax.ShapeDtypeStruct((b, t_in, feat), f32)], platforms
+        ),
+        "stream_init": _export_fn(stream_init, [], platforms),
+        "stream_step": _export_fn(
+            stream_step,
+            [
+                jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), carry0
+                ),
+                jax.ShapeDtypeStruct((t_in, feat), f32),
+            ],
+            platforms,
+        ),
+    }
+    meta = {
+        "format": _FORMAT,
+        "preset": preset,
+        "platforms": list(platforms),
+        "seq_len_in": t_in,
+        "seq_len_out": mcfg.seq_len_out,
+        "n_classes": mcfg.n_classes,
+        "n_mels": mcfg.n_mels,
+        "in_channels": mcfg.in_channels,
+        "sample_rate": cfg.frontend.sample_rate,
+        "hop_length": cfg.frontend.hop_length,
+        "norm_folded": norm_stats is not None,
+        "model": {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in dataclasses.asdict(mcfg).items()
+        },
+    }
+    return ServingArtifact(meta=meta, fns=fns)

@@ -39,9 +39,10 @@ from sed_crnn_tpu.nn.layers import Ctx
 
 
 def _zero_carry(model: CRNN, params, state, chunk_frames: int, batch: int = 1):
+    feat = model.cfg.n_mels * model.cfg.in_channels
     shapes = jax.eval_shape(
         lambda p, s: model.apply(
-            p, s, jnp.zeros((batch, chunk_frames, model.cfg.n_mels)), Ctx(train=False)
+            p, s, jnp.zeros((batch, chunk_frames, feat)), Ctx(train=False)
         )[2],
         params,
         state,
@@ -66,7 +67,7 @@ def stream_logits(
     mel: jnp.ndarray,
     carry_backward: bool = False,
 ) -> jnp.ndarray:
-    """mel (frames, n_mels) -> per-output-frame logits
+    """mel (frames, n_mels*channels) -> per-output-frame logits
     (ceil(frames/seq_len) * seq_len_out, n_classes), one device program."""
     chunk = model.cfg.seq_len_in
     chunks = pad_to_chunks(mel.astype(jnp.float32), chunk)
@@ -103,7 +104,7 @@ def stream_logits_lookahead(
     next pair straight out of the pair pass's GRU states at the chunk
     boundary (``carry_at`` — the recurrence already visited chunk k, so the
     mid-sequence hidden state is a free slice, not a second conv pass).
-    mel (frames, n_mels) -> logits
+    mel (frames, n_mels*channels) -> logits
     (ceil(frames/seq_len) * seq_len_out, n_classes)."""
     chunk = model.cfg.seq_len_in
     chunks = pad_to_chunks(mel.astype(jnp.float32), chunk)   # (n, chunk, F)
@@ -160,7 +161,7 @@ def stream_logits_batch(
     mels: jnp.ndarray,
     carry_backward: bool = False,
 ) -> jnp.ndarray:
-    """Batched streaming over (B, frames, n_mels); the leading axis may be
+    """Batched streaming over (B, frames, n_mels*channels); the leading axis may be
     sharded over a data mesh for multi-chip long-file inference."""
     return jax.vmap(
         lambda m: stream_logits.__wrapped__(model, params, state, m, carry_backward)

@@ -1,0 +1,181 @@
+"""AOT serving-artifact export (`models/export.py`, `apps/export.py`).
+
+The exported StableHLO programs must reproduce the live model bit-for-bit
+(same platform, same dtype, weights baked as constants), serve any batch
+size through the symbolic batch dimension, and round-trip through the zip
+container with no framework code on the load path.
+"""
+
+import dataclasses
+import json
+import os
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sed_crnn_tpu.core import checkpoint as ckpt_io
+from sed_crnn_tpu.core.config import get_preset
+from sed_crnn_tpu.models import get_model
+from sed_crnn_tpu.models.export import ServingArtifact, export_serving
+from sed_crnn_tpu.nn.layers import Ctx
+
+
+def _tiny_cfg(**model_kw):
+    cfg = get_preset("timepooled-v2")
+    m = dataclasses.replace(
+        cfg.model,
+        conv_channels=(4, 4, 4),
+        gru_hidden=(4,),
+        head_dims=(1,),
+        seq_len_in=16,
+        compute_dtype="float32",
+        gru_backend="xla",
+        **model_kw,
+    )
+    return cfg.replace(model=m)
+
+
+def _init(cfg, seed=0):
+    model = get_model(cfg.model)
+    params, state = model.init(jax.random.PRNGKey(seed))
+    return model, params, state
+
+
+def _ref_forward(model, params, state, x):
+    logits, _, _ = model.apply(params, state, jnp.asarray(x), Ctx(train=False))
+    return np.asarray(jax.nn.sigmoid(logits))
+
+
+def test_forward_parity_and_symbolic_batch(rng):
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    feat = cfg.model.n_mels * cfg.model.in_channels
+    for batch in (2, 5):  # one export serves both sizes (symbolic b)
+        x = rng.standard_normal((batch, cfg.model.seq_len_in, feat)).astype(
+            np.float32
+        )
+        got = np.asarray(art.forward(x))
+        want = _ref_forward(model, params, state, x)
+        assert got.shape == (batch, cfg.model.seq_len_out, cfg.model.n_classes)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_norm_stats_folded_into_program(rng):
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    feat = cfg.model.n_mels
+    mean = rng.standard_normal(feat).astype(np.float32)
+    scale = (0.5 + rng.random(feat)).astype(np.float32)
+    art = export_serving(
+        cfg, params, state, norm_stats=(mean, scale), platforms=("cpu",)
+    )
+    assert art.meta["norm_folded"] is True
+    raw = rng.standard_normal((3, cfg.model.seq_len_in, feat)).astype(np.float32)
+    got = np.asarray(art.forward(raw))
+    want = _ref_forward(model, params, state, (raw - mean) / scale)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_save_load_roundtrip(rng, tmp_path):
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",), preset="tiny")
+    path = str(tmp_path / "model.sedart")
+    art.save(path)
+
+    loaded = ServingArtifact.load(path)
+    assert loaded.meta["preset"] == "tiny"
+    assert loaded.meta["seq_len_in"] == cfg.model.seq_len_in
+    x = rng.standard_normal(
+        (4, cfg.model.seq_len_in, cfg.model.n_mels)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.forward(x)), np.asarray(art.forward(x))
+    )
+
+    # A zip that is not a serving artifact is rejected by format tag.
+    bogus = str(tmp_path / "bogus.sedart")
+    with zipfile.ZipFile(bogus, "w") as zf:
+        zf.writestr("meta.json", json.dumps({"format": "something-else"}))
+    with pytest.raises(ValueError, match="artifact"):
+        ServingArtifact.load(bogus)
+
+
+def test_stream_matches_streaming_module(rng):
+    from sed_crnn_tpu.models.streaming import stream_probabilities
+
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    frames = cfg.model.seq_len_in * 3 + 7  # exercises padding + trim
+    mel = rng.standard_normal((frames, cfg.model.n_mels)).astype(np.float32)
+    got = art.stream(mel)
+    want = stream_probabilities(model, params, state, mel)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_binaural_streaming_and_export(rng):
+    """in_channels=2: the streaming carry probe and the exported programs
+    must size the feature axis as n_mels*channels (regression: _zero_carry
+    used n_mels alone, breaking every binaural streaming call)."""
+    from sed_crnn_tpu.models.streaming import stream_probabilities
+
+    cfg = _tiny_cfg(in_channels=2)
+    model, params, state = _init(cfg)
+    feat = cfg.model.n_mels * 2
+    mel = rng.standard_normal(
+        (cfg.model.seq_len_in * 2 + 3, feat)
+    ).astype(np.float32)
+    want = stream_probabilities(model, params, state, mel)  # raised pre-fix
+
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    got = art.stream(mel)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_multiplatform_lowering_serializes():
+    """cpu+tpu multi-platform lowering works without TPU hardware attached
+    and survives (de)serialization."""
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu", "tpu"))
+    blob = bytes(art.fns["forward"].serialize())
+    assert len(blob) > 0
+    back = jax.export.deserialize(blob)
+    assert set(p.lower() for p in back.platforms) == {"cpu", "tpu"}
+
+
+def test_export_cli(rng, tmp_path):
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    ckpt = str(tmp_path / "best.npz")
+    ckpt_io.save_checkpoint(
+        ckpt, {"params": params, "model_state": state}, {"epoch": 3}
+    )
+    out = str(tmp_path / "model.sedart")
+
+    from sed_crnn_tpu.apps import export as export_app
+    from unittest import mock
+
+    # The CLI resolves the preset by name; patch in the tiny config so the
+    # test does not pay a full-width v1 export.
+    with mock.patch("sed_crnn_tpu.core.config.get_preset", return_value=cfg):
+        export_app.main(
+            ["--checkpoint", ckpt, "--out", out, "--platforms", "cpu"]
+        )
+
+    loaded = ServingArtifact.load(out)
+    x = rng.standard_normal(
+        (2, cfg.model.seq_len_in, cfg.model.n_mels)
+    ).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(loaded.forward(x)),
+        _ref_forward(model, params, state, x),
+        rtol=0,
+        atol=1e-6,
+    )
