@@ -36,11 +36,19 @@ def main(argv=None):
         default="cpu,tpu",
         help="comma-separated lowering platforms (default cpu,tpu)",
     )
+    p.add_argument(
+        "--format",
+        choices=("sedart", "tf"),
+        default="sedart",
+        help="sedart: StableHLO zip artifact (windowed + streaming); "
+        "tf: TensorFlow SavedModel directory (windowed forward only, for "
+        "TF Serving)",
+    )
     args = p.parse_args(argv)
 
     from sed_crnn_tpu.core import checkpoint as ckpt_io
     from sed_crnn_tpu.core.config import get_preset
-    from sed_crnn_tpu.models.export import export_serving
+    from sed_crnn_tpu.models.export import export_serving, export_tf_savedmodel
 
     cfg = get_preset(args.preset)
     tree, meta = ckpt_io.load_checkpoint(args.checkpoint)
@@ -53,6 +61,20 @@ def main(argv=None):
         norm_stats = stats_from_fold(
             args.stats_from, args.fold, channel_tag=args.channel_tag
         )
+
+    if args.format == "tf":
+        export_tf_savedmodel(cfg, params, state, args.out, norm_stats=norm_stats)
+        print(
+            json.dumps(
+                {
+                    "artifact": args.out,
+                    "format": "tf_saved_model",
+                    "norm_folded": norm_stats is not None,
+                    "checkpoint_meta": meta,
+                }
+            )
+        )
+        return
 
     artifact = export_serving(
         cfg,
@@ -67,6 +89,7 @@ def main(argv=None):
         json.dumps(
             {
                 "artifact": args.out,
+                "format": "sedart",
                 "bytes": os.path.getsize(args.out),
                 "platforms": artifact.meta["platforms"],
                 "norm_folded": artifact.meta["norm_folded"],

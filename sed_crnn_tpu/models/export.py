@@ -137,21 +137,10 @@ class ServingArtifact:
         return cls(meta=meta, fns=fns)
 
 
-def export_serving(
-    cfg: ExperimentConfig,
-    params,
-    state,
-    norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-    platforms: Sequence[str] = ("cpu", "tpu"),
-    preset: Optional[str] = None,
-) -> ServingArtifact:
-    """Export the inference surface of a trained model.
-
-    ``norm_stats`` = (mean, scale) over the F*C feature axis — the fold's
-    TRAIN-split statistics (`data/store.py::load_fold_stats`). When given,
-    normalization is folded INTO the exported programs, so callers feed raw
-    log-mel features and cannot pair the model with the wrong statistics.
-    """
+def _build_inference(cfg: ExperimentConfig, params, state, norm_stats):
+    """The shared inference closures every export format lowers:
+    (mcfg, forward, stream_init, stream_step, carry0). Normalization (when
+    stats are given) is folded into the closures."""
     mcfg: ModelConfig = dataclasses.replace(cfg.model, gru_backend="xla")
     model = get_model(mcfg)
     t_in = mcfg.seq_len_in
@@ -185,6 +174,30 @@ def export_serving(
             for c, z in zip(new_carry, carry0)
         ]
         return new_carry, jax.nn.sigmoid(logits[0])
+
+    return mcfg, forward, stream_init, stream_step, carry0
+
+
+def export_serving(
+    cfg: ExperimentConfig,
+    params,
+    state,
+    norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    preset: Optional[str] = None,
+) -> ServingArtifact:
+    """Export the inference surface of a trained model.
+
+    ``norm_stats`` = (mean, scale) over the F*C feature axis — the fold's
+    TRAIN-split statistics (`data/store.py::load_fold_stats`). When given,
+    normalization is folded INTO the exported programs, so callers feed raw
+    log-mel features and cannot pair the model with the wrong statistics.
+    """
+    mcfg, forward, stream_init, stream_step, carry0 = _build_inference(
+        cfg, params, state, norm_stats
+    )
+    t_in = mcfg.seq_len_in
+    feat = mcfg.n_mels * mcfg.in_channels
 
     b = jax.export.symbolic_shape("b")[0]
     f32 = jnp.float32
@@ -222,3 +235,43 @@ def export_serving(
         },
     }
     return ServingArtifact(meta=meta, fns=fns)
+
+
+def export_tf_savedmodel(
+    cfg: ExperimentConfig,
+    params,
+    state,
+    out_dir: str,
+    norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> str:
+    """Export the windowed forward as a TensorFlow SavedModel (via jax2tf).
+
+    For reference-lineage users deploying behind TF Serving / TFX: the
+    SavedModel's single signature ``serving_default`` maps windows
+    (None, T, F*C) float32 -> probs (None, T_out, K), batch dimension
+    polymorphic, weights and norm stats baked in — the same closure
+    `export_serving` lowers, through TF's saved_model format instead of the
+    raw StableHLO artifact. Streaming state is not exported here (TF
+    signatures want flat tensors; use the `.sedart` artifact for streaming).
+    """
+    import tensorflow as tf  # deferred: TF is only needed for this format
+    from jax.experimental import jax2tf
+
+    mcfg, forward, _, _, _ = _build_inference(cfg, params, state, norm_stats)
+    t_in = mcfg.seq_len_in
+    feat = mcfg.n_mels * mcfg.in_channels
+
+    tf_fwd = jax2tf.convert(
+        forward, polymorphic_shapes=[f"(b, {t_in}, {feat})"]
+    )
+    module = tf.Module()
+    module.f = tf.function(
+        tf_fwd,
+        autograph=False,
+        input_signature=[tf.TensorSpec([None, t_in, feat], tf.float32)],
+    )
+    tf.saved_model.save(
+        module, out_dir,
+        signatures={"serving_default": module.f},
+    )
+    return out_dir

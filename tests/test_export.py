@@ -150,6 +150,35 @@ def test_multiplatform_lowering_serializes():
     assert set(p.lower() for p in back.platforms) == {"cpu", "tpu"}
 
 
+def test_tf_savedmodel_roundtrip(rng, tmp_path):
+    """`--format tf`: the jax2tf SavedModel reproduces the live model with
+    a polymorphic batch dimension and folded norm stats."""
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")  # oneDNN bf16 convs
+    tf = pytest.importorskip("tensorflow")
+
+    from sed_crnn_tpu.models.export import export_tf_savedmodel
+
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    feat = cfg.model.n_mels
+    mean = rng.standard_normal(feat).astype(np.float32)
+    scale = (0.5 + rng.random(feat)).astype(np.float32)
+    out = str(tmp_path / "savedmodel")
+    export_tf_savedmodel(cfg, params, state, out, norm_stats=(mean, scale))
+
+    loaded = tf.saved_model.load(out)
+    for batch in (2, 5):
+        raw = rng.standard_normal(
+            (batch, cfg.model.seq_len_in, feat)
+        ).astype(np.float32)
+        got = loaded.signatures["serving_default"](
+            tf.constant(raw)
+        )
+        got = np.asarray(list(got.values())[0])
+        want = _ref_forward(model, params, state, (raw - mean) / scale)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
 def test_export_cli(rng, tmp_path):
     cfg = _tiny_cfg()
     model, params, state = _init(cfg)
