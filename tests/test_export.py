@@ -150,6 +150,43 @@ def test_multiplatform_lowering_serializes():
     assert set(p.lower() for p in back.platforms) == {"cpu", "tpu"}
 
 
+def test_sednet_trunk_export(rng):
+    """Mel-pooled multi-class trunk (the SEDnet geometry: seq_len_out ==
+    seq_len_in, n_classes > 1): windowed and streaming programs both
+    reproduce the live model."""
+    from sed_crnn_tpu.models.streaming import stream_probabilities
+
+    base = get_preset("sednet-dcase")
+    m = dataclasses.replace(
+        base.model,
+        conv_channels=(4, 4, 4),
+        gru_hidden=(4,),
+        head_dims=(4, base.model.n_classes),
+        seq_len_in=16,
+        compute_dtype="float32",
+        gru_backend="xla",
+    )
+    cfg = base.replace(model=m)
+    assert m.pool_axis == "mel" and m.seq_len_out == 16 and m.n_classes == 6
+    model, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+
+    x = rng.standard_normal((3, 16, m.n_mels)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(art.forward(x)),
+        _ref_forward(model, params, state, x),
+        rtol=0,
+        atol=1e-6,
+    )
+    mel = rng.standard_normal((16 * 2 + 5, m.n_mels)).astype(np.float32)
+    np.testing.assert_allclose(
+        art.stream(mel),
+        stream_probabilities(model, params, state, mel),
+        rtol=0,
+        atol=1e-6,
+    )
+
+
 def test_tf_savedmodel_roundtrip(rng, tmp_path):
     """`--format tf`: the jax2tf SavedModel reproduces the live model with
     a polymorphic batch dimension and folded norm stats."""
