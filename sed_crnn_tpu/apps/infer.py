@@ -114,10 +114,45 @@ def stats_from_fold(
     return np.asarray(stats.mean), np.asarray(stats.scale)
 
 
+def infer_file_artifact(
+    wav_path: str,
+    artifact_path: str,
+    threshold: float = 0.5,
+    log_floor: float = 1e-10,
+):
+    """Serve from an AOT artifact (`apps/export.py`): the artifact's meta
+    carries the frontend parameters and its programs carry the weights and
+    (when exported with ``--stats-from``) the fold's normalization — the
+    wav file and the artifact are the only inputs."""
+    import dataclasses
+
+    from sed_crnn_tpu.core.config import FrontendConfig
+    from sed_crnn_tpu.models.export import ServingArtifact
+
+    art = ServingArtifact.load(artifact_path)
+    fcfg = FrontendConfig(**art.meta["frontend"])
+    if log_floor:
+        fcfg = dataclasses.replace(fcfg, log_floor=float(log_floor))
+
+    pcm = decode_audio(wav_path, sr=fcfg.sample_rate, mono=True)
+    mel = frontend.extract(pcm, fcfg)
+    probs = art.stream(mel)
+
+    pool = int(art.meta["seq_len_in"]) // int(art.meta["seq_len_out"])
+    out_hop = fcfg.hop_length * pool
+    events = events_from_labels(probs, fcfg.sample_rate, out_hop, threshold)
+    return probs, events, art.meta
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wav", required=True)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", help="npz checkpoint (with --preset)")
+    p.add_argument(
+        "--artifact",
+        help="AOT serving artifact (.sedart) from sedtpu-export; replaces "
+        "--checkpoint/--preset/--stats-from",
+    )
     p.add_argument("--preset", default="timepooled-v2")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--stats-from", help="cache dir with per-video npz for norm stats")
@@ -137,11 +172,23 @@ def main(argv=None):
     p.add_argument("--out", help="write events as JSON here (default stdout)")
     args = p.parse_args(argv)
 
-    stats = stats_from_fold(args.stats_from, args.fold) if args.stats_from else None
-    probs, events, meta = infer_file(
-        args.wav, args.checkpoint, args.preset, stats, args.threshold,
-        args.carry_backward, args.lookahead, args.log_floor,
-    )
+    if bool(args.checkpoint) == bool(args.artifact):
+        p.error("pass exactly one of --checkpoint or --artifact")
+
+    if args.artifact:
+        probs, events, meta = infer_file_artifact(
+            args.wav, args.artifact, args.threshold, args.log_floor
+        )
+    else:
+        stats = (
+            stats_from_fold(args.stats_from, args.fold)
+            if args.stats_from
+            else None
+        )
+        probs, events, meta = infer_file(
+            args.wav, args.checkpoint, args.preset, stats, args.threshold,
+            args.carry_backward, args.lookahead, args.log_floor,
+        )
     payload = {
         "wav": args.wav,
         "checkpoint_epoch": meta.get("epoch"),

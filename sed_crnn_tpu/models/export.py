@@ -229,6 +229,9 @@ def export_serving(
         "sample_rate": cfg.frontend.sample_rate,
         "hop_length": cfg.frontend.hop_length,
         "norm_folded": norm_stats is not None,
+        # Full frontend parameters so a serving host can run feature
+        # extraction with zero configuration (`apps/infer.py --artifact`).
+        "frontend": dataclasses.asdict(cfg.frontend),
         "model": {
             k: (list(v) if isinstance(v, tuple) else v)
             for k, v in dataclasses.asdict(mcfg).items()

@@ -150,6 +150,43 @@ def test_multiplatform_lowering_serializes():
     assert set(p.lower() for p in back.platforms) == {"cpu", "tpu"}
 
 
+def test_infer_cli_with_artifact(rng, tmp_path):
+    """`sedtpu-infer --artifact`: wav in, events JSON out, with the
+    frontend config, weights, and norm stats all coming from the artifact."""
+    from sed_crnn_tpu.apps import infer as infer_app
+    from sed_crnn_tpu.data.wavio import write_wav
+
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    feat = cfg.model.n_mels
+    stats = (np.zeros(feat, np.float32), np.ones(feat, np.float32))
+    art = export_serving(
+        cfg, params, state, norm_stats=stats, platforms=("cpu",), preset="tiny"
+    )
+    path = str(tmp_path / "m.sedart")
+    art.save(path)
+
+    sr = cfg.frontend.sample_rate
+    t = np.arange(sr * 2) / sr
+    wav_path = str(tmp_path / "x.wav")
+    write_wav(wav_path, (0.2 * np.sin(2 * np.pi * 880 * t)).astype(np.float32), sr)
+
+    out = str(tmp_path / "events.json")
+    infer_app.main(["--wav", wav_path, "--artifact", path, "--out", out])
+    with open(out) as f:
+        payload = json.load(f)
+    assert payload["n_output_frames"] > 0
+    assert isinstance(payload["events"], list)
+
+    # exactly one of --checkpoint / --artifact
+    with pytest.raises(SystemExit):
+        infer_app.main(["--wav", wav_path])
+    with pytest.raises(SystemExit):
+        infer_app.main(
+            ["--wav", wav_path, "--artifact", path, "--checkpoint", "x.npz"]
+        )
+
+
 def test_sednet_trunk_export(rng):
     """Mel-pooled multi-class trunk (the SEDnet geometry: seq_len_out ==
     seq_len_in, n_classes > 1): windowed and streaming programs both
