@@ -37,6 +37,12 @@ def main(argv=None):
         help="comma-separated lowering platforms (default cpu,tpu)",
     )
     p.add_argument(
+        "--compute-dtype",
+        default=None,
+        help="override the activation dtype for serving (e.g. bfloat16 — "
+        "the measured-faster trunk treatment on TPU; recurrence stays f32)",
+    )
+    p.add_argument(
         "--format",
         choices=("sedart", "tf"),
         default="sedart",
@@ -63,7 +69,10 @@ def main(argv=None):
         )
 
     if args.format == "tf":
-        export_tf_savedmodel(cfg, params, state, args.out, norm_stats=norm_stats)
+        export_tf_savedmodel(
+            cfg, params, state, args.out, norm_stats=norm_stats,
+            compute_dtype=args.compute_dtype,
+        )
         print(
             json.dumps(
                 {
@@ -83,6 +92,7 @@ def main(argv=None):
         norm_stats=norm_stats,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
         preset=args.preset,
+        compute_dtype=args.compute_dtype,
     )
     artifact.save(args.out)
     print(

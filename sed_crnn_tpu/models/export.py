@@ -137,11 +137,17 @@ class ServingArtifact:
         return cls(meta=meta, fns=fns)
 
 
-def _build_inference(cfg: ExperimentConfig, params, state, norm_stats):
+def _build_inference(cfg: ExperimentConfig, params, state, norm_stats,
+                     compute_dtype=None):
     """The shared inference closures every export format lowers:
     (mcfg, forward, stream_init, stream_step, carry0). Normalization (when
-    stats are given) is folded into the closures."""
+    stats are given) is folded into the closures. ``compute_dtype``
+    overrides the activation dtype (e.g. "bfloat16" for TPU serving — the
+    same trunk treatment the training benchmarks run; recurrence and head
+    stay f32 per the model's internal policy)."""
     mcfg: ModelConfig = dataclasses.replace(cfg.model, gru_backend="xla")
+    if compute_dtype is not None:
+        mcfg = dataclasses.replace(mcfg, compute_dtype=compute_dtype)
     model = get_model(mcfg)
     t_in = mcfg.seq_len_in
     feat = mcfg.n_mels * mcfg.in_channels
@@ -185,6 +191,7 @@ def export_serving(
     norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
     preset: Optional[str] = None,
+    compute_dtype: Optional[str] = None,
 ) -> ServingArtifact:
     """Export the inference surface of a trained model.
 
@@ -194,7 +201,7 @@ def export_serving(
     log-mel features and cannot pair the model with the wrong statistics.
     """
     mcfg, forward, stream_init, stream_step, carry0 = _build_inference(
-        cfg, params, state, norm_stats
+        cfg, params, state, norm_stats, compute_dtype
     )
     t_in = mcfg.seq_len_in
     feat = mcfg.n_mels * mcfg.in_channels
@@ -246,6 +253,7 @@ def export_tf_savedmodel(
     state,
     out_dir: str,
     norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    compute_dtype: Optional[str] = None,
 ) -> str:
     """Export the windowed forward as a TensorFlow SavedModel (via jax2tf).
 
@@ -260,7 +268,9 @@ def export_tf_savedmodel(
     import tensorflow as tf  # deferred: TF is only needed for this format
     from jax.experimental import jax2tf
 
-    mcfg, forward, _, _, _ = _build_inference(cfg, params, state, norm_stats)
+    mcfg, forward, _, _, _ = _build_inference(
+        cfg, params, state, norm_stats, compute_dtype
+    )
     t_in = mcfg.seq_len_in
     feat = mcfg.n_mels * mcfg.in_channels
 

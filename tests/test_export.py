@@ -150,6 +150,24 @@ def test_multiplatform_lowering_serializes():
     assert set(p.lower() for p in back.platforms) == {"cpu", "tpu"}
 
 
+def test_bf16_serving_export(rng):
+    """compute_dtype="bfloat16" export runs and tracks the f32 program to
+    bf16 trunk precision (the TPU serving fast path)."""
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    f32 = export_serving(cfg, params, state, platforms=("cpu",))
+    bf16 = export_serving(
+        cfg, params, state, platforms=("cpu",), compute_dtype="bfloat16"
+    )
+    assert bf16.meta["model"]["compute_dtype"] == "bfloat16"
+    x = rng.standard_normal((4, cfg.model.seq_len_in, cfg.model.n_mels)).astype(
+        np.float32
+    )
+    a, b = np.asarray(f32.forward(x)), np.asarray(bf16.forward(x))
+    assert b.dtype == np.float32 and np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=0, atol=0.03)  # bf16 trunk tol
+
+
 def test_infer_cli_with_artifact(rng, tmp_path):
     """`sedtpu-infer --artifact`: wav in, events JSON out, with the
     frontend config, weights, and norm stats all coming from the artifact."""
