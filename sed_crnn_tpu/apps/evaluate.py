@@ -32,8 +32,19 @@ def main(argv=None):
                    help="event-metric pairing: 'optimal' (maximum bipartite, "
                         "order-independent) or 'greedy' (sed_eval's exact "
                         "first-eligible-in-order pairing)")
+    p.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard the window axis over ALL local devices "
+             "(`jax.sharding.Mesh`); identical results, multi-chip speed",
+    )
     p.add_argument("--out", help="write the JSON report here (default stdout)")
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.data_parallel:
+        from sed_crnn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
 
     cfg = get_preset(args.preset)
     model = get_model(cfg.model)
@@ -49,6 +60,7 @@ def main(argv=None):
         cfg,
         batch_size=args.batch_size,
         event_matching=args.event_matching,
+        mesh=mesh,
     )
     report["checkpoint"] = args.checkpoint
     report["checkpoint_epoch"] = meta.get("epoch")

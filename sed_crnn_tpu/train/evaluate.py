@@ -54,6 +54,41 @@ def _forward_all(model: CRNN, params, state, xw, batch_size: int):
     return probs.reshape(n_batches * batch_size, *probs.shape[2:])
 
 
+def _forward_all_dp(
+    model: CRNN, params, state, xw, batch_size: int, mesh, axis_name: str
+):
+    """Mesh-sharded variant: the batched-window axis splits across the mesh,
+    each device `lax.map`s its share, XLA gathers the probabilities. Caller
+    guarantees n_batches % n_devices == 0 (see `evaluate_split` padding)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = xw.shape[0]
+    n_batches = n // batch_size
+    xb = xw[: n_batches * batch_size].reshape(
+        n_batches, batch_size, *xw.shape[1:]
+    )
+
+    def fwd_shard(p, s, xs):
+        def fwd(batch):
+            logits, _, _ = model.apply(p, s, batch, Ctx(train=False))
+            return jax.nn.sigmoid(logits)
+
+        return jax.lax.map(fwd, xs)
+
+    sharded = jax.jit(
+        shard_map(
+            fwd_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis_name)),
+            out_specs=P(axis_name),
+            check_vma=False,
+        )
+    )
+    probs = sharded(params, state, xb)
+    return probs.reshape(n_batches * batch_size, *probs.shape[2:])
+
+
 def evaluate_split(
     model: CRNN,
     params,
@@ -64,11 +99,17 @@ def evaluate_split(
     thresholds: Optional[np.ndarray] = None,
     batch_size: int = 256,
     event_matching: str = "optimal",
+    mesh=None,
+    axis_name: Optional[str] = None,
 ) -> Dict:
     """Evaluate one (features, labels) split end to end. Returns metrics at
     the configured threshold plus the full sweep and best-ER threshold.
     ``event_matching``: "optimal" or "greedy" (sed_eval's exact pairing) for
-    the event-based scores — see `ops/event_metrics.py`."""
+    the event-based scores — see `ops/event_metrics.py`.
+    ``mesh`` shards the window axis across the devices of a 1-D
+    `jax.sharding.Mesh` (`axis_name` defaults to the data axis) — the
+    multi-chip path for large-split scoring; results are identical to the
+    single-device program."""
     m = cfg.model
     t = cfg.train
     thresholds = DEFAULT_THRESHOLDS if thresholds is None else np.asarray(thresholds)
@@ -77,11 +118,25 @@ def evaluate_split(
     n = xw.shape[0]
     if n == 0:
         raise ValueError(f"split has {x.shape[0]} frames < one {m.seq_len_in}-frame window")
-    pad = (-n) % batch_size
+    # Pad to a whole number of batches — and, when sharded, to a batch count
+    # divisible by the mesh size so every device maps an equal share.
+    if mesh is not None:
+        from sed_crnn_tpu.parallel.mesh import DATA_AXIS
+
+        axis_name = axis_name or DATA_AXIS
+        chunk = batch_size * mesh.shape[axis_name]
+    else:
+        chunk = batch_size
+    pad = (-n) % chunk
     if pad:
         xw = np.concatenate([xw, np.zeros((pad, *xw.shape[1:]), xw.dtype)], axis=0)
 
-    probs = _forward_all(model, params, state, jnp.asarray(xw), batch_size)
+    if mesh is not None:
+        probs = _forward_all_dp(
+            model, params, state, jnp.asarray(xw), batch_size, mesh, axis_name
+        )
+    else:
+        probs = _forward_all(model, params, state, jnp.asarray(xw), batch_size)
     probs = probs[:n]
     flat_p = probs.reshape(-1, probs.shape[-1])
     flat_y = jnp.asarray(yw.reshape(-1, yw.shape[-1]))

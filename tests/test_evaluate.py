@@ -129,3 +129,25 @@ def test_binaural_dcase_path_end_to_end(rng):
         jnp.asarray((probs > 0.5).reshape(-1, 6)), jnp.asarray(ys.reshape(-1, 6)), 43
     )
     assert np.isfinite(float(scores["f1_overall_1sec"]))
+
+
+def test_evaluate_split_sharded_matches_single_device(rng):
+    """`evaluate_split(mesh=...)` shards the window axis over the 8-device
+    CPU mesh and must reproduce the single-device report exactly."""
+    from sed_crnn_tpu.parallel.mesh import make_mesh
+
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    params, state = model.init(jax.random.PRNGKey(1))
+    x, y = _split(rng, 3000)
+
+    kw = dict(thresholds=np.asarray([0.3, 0.5], np.float32), batch_size=4)
+    single = eval_mod.evaluate_split(model, params, state, x, y, cfg, **kw)
+    mesh = make_mesh(8)
+    sharded = eval_mod.evaluate_split(
+        model, params, state, x, y, cfg, mesh=mesh, **kw
+    )
+    assert sharded["n_windows"] == single["n_windows"]
+    for k in ("er_1s", "f1_1s", "best_er_1s", "best_threshold",
+              "er_event", "f1_event"):
+        np.testing.assert_allclose(sharded[k], single[k], rtol=0, atol=1e-6)
