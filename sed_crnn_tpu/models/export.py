@@ -122,7 +122,14 @@ class ServingArtifact:
     @classmethod
     def load(cls, path: str) -> "ServingArtifact":
         fns: Dict[str, Any] = {}
-        with zipfile.ZipFile(path, "r") as zf:
+        try:
+            zf_probe = zipfile.ZipFile(path, "r")
+        except (zipfile.BadZipFile, IsADirectoryError, KeyError) as e:
+            raise ValueError(
+                f"{path}: not a serving artifact ({e}); expected the zip "
+                f"container written by ServingArtifact.save / sedtpu-export"
+            ) from e
+        with zf_probe as zf:
             meta = json.loads(zf.read("meta.json").decode("utf-8"))
             if meta.get("format") != _FORMAT:
                 raise ValueError(
