@@ -67,6 +67,12 @@ def main(argv=None):
         norm_stats = stats_from_fold(
             args.stats_from, args.fold, channel_tag=args.channel_tag
         )
+        if norm_stats is None:
+            p.error(
+                f"--stats-from {args.stats_from}: no fold pack or per-video "
+                f"features for fold {args.fold} (tag {args.channel_tag!r}) — "
+                f"refusing to export without the requested statistics"
+            )
 
     if args.format == "tf":
         export_tf_savedmodel(

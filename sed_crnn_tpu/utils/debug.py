@@ -6,7 +6,7 @@ opt-in NaN/Inf detection and shape contracts at the host boundary."""
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

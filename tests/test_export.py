@@ -300,3 +300,14 @@ def test_export_cli(rng, tmp_path):
         rtol=0,
         atol=1e-6,
     )
+
+    # --stats-from pointing at a statsless dir must refuse, not silently
+    # export an unnormalized model.
+    empty = tmp_path / "empty_cache"
+    empty.mkdir()
+    with mock.patch("sed_crnn_tpu.core.config.get_preset", return_value=cfg):
+        with pytest.raises(SystemExit):
+            export_app.main(
+                ["--checkpoint", ckpt, "--out", out, "--platforms", "cpu",
+                 "--stats-from", str(empty)]
+            )
