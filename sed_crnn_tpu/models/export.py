@@ -96,6 +96,21 @@ class ServingArtifact:
             carry, jnp.asarray(chunk, jnp.float32)
         )
 
+    def stream_init_batch(self, batch: int):
+        """Zero carry for ``batch`` concurrent streams (leading axis)."""
+        one = self.stream_init()
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (batch, *a.shape)), one
+        )
+
+    def stream_step_batch(self, carry, chunks) -> Tuple[Any, jax.Array]:
+        """One chunk from each of b concurrent streams: carry leaves carry a
+        leading (symbolic) batch axis, chunks is (b, T, F*C); returns
+        (new_carry, probs (b, T_out, K)). One program serves any b."""
+        return self.fns["stream_step_batch"].call(
+            carry, jnp.asarray(chunks, jnp.float32)
+        )
+
     def stream(self, mel: np.ndarray) -> np.ndarray:
         """Host loop over chunks: (frames, F*C) -> (out_frames, K) probs,
         trimmed to the true length like `stream_probabilities`."""
@@ -227,6 +242,19 @@ def export_serving(
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), carry0
                 ),
                 jax.ShapeDtypeStruct((t_in, feat), f32),
+            ],
+            platforms,
+        ),
+        # b concurrent streams, one chunk each (monitoring-fleet serving);
+        # the batch axis is symbolic like forward's.
+        "stream_step_batch": _export_fn(
+            lambda carry, chunks: jax.vmap(stream_step)(carry, chunks),
+            [
+                jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct((b, *a.shape), a.dtype),
+                    carry0,
+                ),
+                jax.ShapeDtypeStruct((b, t_in, feat), f32),
             ],
             platforms,
         ),

@@ -150,6 +150,34 @@ def test_multiplatform_lowering_serializes():
     assert set(p.lower() for p in back.platforms) == {"cpu", "tpu"}
 
 
+def test_batched_streaming(rng):
+    """stream_step_batch serves b concurrent streams; each stream's chain
+    must match running it alone through stream_step."""
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    t_in, feat = cfg.model.seq_len_in, cfg.model.n_mels
+    n_streams, n_chunks = 3, 4
+    chunks = rng.standard_normal(
+        (n_chunks, n_streams, t_in, feat)
+    ).astype(np.float32)
+
+    carry_b = art.stream_init_batch(n_streams)
+    got = []
+    for k in range(n_chunks):
+        carry_b, probs = art.stream_step_batch(carry_b, chunks[k])
+        got.append(np.asarray(probs))
+    got = np.stack(got)  # (n_chunks, b, T_out, K)
+
+    for s in range(n_streams):
+        carry = art.stream_init()
+        for k in range(n_chunks):
+            carry, probs = art.stream_step(carry, chunks[k, s])
+            np.testing.assert_allclose(
+                got[k, s], np.asarray(probs), rtol=0, atol=1e-6
+            )
+
+
 def test_bf16_serving_export(rng):
     """compute_dtype="bfloat16" export runs and tracks the f32 program to
     bf16 trunk precision (the TPU serving fast path)."""
