@@ -279,3 +279,115 @@ int64_t wav_read_mono(const char* path, float** out_samples, int* out_sr) {
 void logmel_free(float* p) { delete[] p; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming PCM framer: incremental librosa-center framing for live audio.
+//
+// Feeds of arbitrary-sized PCM chunks come in; complete n_fft frames
+// (hop-advanced, reflect-padded at the stream head exactly like
+// `ops/stft.py::frame_signal(center=True)`) come out as soon as enough
+// samples exist. `framer_flush` applies the right reflect pad and emits the
+// tail frames, matching the whole-signal framing bit for bit (parity test:
+// tests/test_native.py). This is the host IO piece of a real-time serving
+// chain: ring-feed PCM -> frames -> fused log-mel -> artifact stream_step.
+// ---------------------------------------------------------------------------
+
+struct StreamFramer {
+  int n_fft = 0, hop = 0, center = 0;
+  int64_t pos = 0;             // next frame start, indexed into `sig`
+  int64_t n_raw = 0;           // raw samples seen so far
+  bool left_padded = false;    // reflect head emitted into `sig`?
+  std::vector<float> sig;      // padded-signal suffix not yet fully consumed
+  std::vector<float> tail;     // last pad+1 raw samples (for the right pad)
+};
+
+extern "C" {
+
+void* framer_create(int n_fft, int hop, int center) {
+  if (n_fft <= 0 || hop <= 0) return nullptr;
+  auto* f = new StreamFramer();
+  f->n_fft = n_fft;
+  f->hop = hop;
+  f->center = center;
+  f->left_padded = (center == 0);  // non-center mode needs no head pad
+  return f;
+}
+
+void framer_destroy(void* p) { delete static_cast<StreamFramer*>(p); }
+
+// Emit every complete frame currently available into out (n_fft floats per
+// frame, row-major, up to max_frames). Returns frames written.
+static int64_t drain(StreamFramer* f, float* out, int64_t max_frames) {
+  int64_t written = 0;
+  while (written < max_frames &&
+         f->pos + f->n_fft <= static_cast<int64_t>(f->sig.size())) {
+    std::copy(f->sig.begin() + f->pos, f->sig.begin() + f->pos + f->n_fft,
+              out + written * f->n_fft);
+    f->pos += f->hop;
+    ++written;
+  }
+  // Drop the consumed prefix occasionally to bound memory.
+  if (f->pos > 4 * f->n_fft) {
+    f->sig.erase(f->sig.begin(), f->sig.begin() + f->pos);
+    f->pos = 0;
+  }
+  return written;
+}
+
+// Feed n PCM samples; writes complete frames to out (caller sizes it with
+// framer_capacity). Returns frames written, or -1 on error.
+int64_t framer_feed(void* p, const float* pcm, int64_t n, float* out,
+                    int64_t max_frames) {
+  auto* f = static_cast<StreamFramer*>(p);
+  if (!f || (n > 0 && !pcm)) return -1;
+  const int pad = f->n_fft / 2;
+  // Track the last pad+1 raw samples for the eventual right reflect pad.
+  f->tail.insert(f->tail.end(), pcm, pcm + n);
+  if (static_cast<int64_t>(f->tail.size()) > pad + 1)
+    f->tail.erase(f->tail.begin(), f->tail.end() - (pad + 1));
+  if (!f->left_padded) {
+    // Accumulate raw samples until the head reflect pad (y[pad..1]) exists.
+    f->sig.insert(f->sig.end(), pcm, pcm + n);
+    f->n_raw += n;
+    if (f->n_raw <= pad) return 0;  // not enough to synthesize the head yet
+    std::vector<float> head(pad);
+    for (int i = 0; i < pad; ++i) head[i] = f->sig[pad - i];
+    f->sig.insert(f->sig.begin(), head.begin(), head.end());
+    f->left_padded = true;
+  } else {
+    f->sig.insert(f->sig.end(), pcm, pcm + n);
+    f->n_raw += n;
+  }
+  return drain(f, out, max_frames);
+}
+
+// End of stream: apply the right reflect pad (center mode) and emit the
+// remaining frames. Returns frames written, or -1 if the stream was too
+// short to frame (center mode needs > n_fft/2 raw samples).
+int64_t framer_flush(void* p, float* out, int64_t max_frames) {
+  auto* f = static_cast<StreamFramer*>(p);
+  if (!f) return -1;
+  const int pad = f->n_fft / 2;
+  if (f->center) {
+    if (!f->left_padded) return -1;  // n_raw <= pad: reflect undefined
+    // Right pad: y[n-2], y[n-3], ..., y[n-1-pad] — from the raw tail.
+    const int64_t t = static_cast<int64_t>(f->tail.size());
+    if (t < 2) return -1;
+    for (int i = 0; i < pad; ++i) {
+      int64_t idx = t - 2 - i;
+      if (idx < 0) return -1;  // stream shorter than pad+1 raw samples
+      f->sig.push_back(f->tail[idx]);
+    }
+  }
+  return drain(f, out, max_frames);
+}
+
+// Upper bound on frames a feed/flush of n more samples can emit.
+int64_t framer_capacity(void* p, int64_t n) {
+  auto* f = static_cast<StreamFramer*>(p);
+  if (!f) return 0;
+  int64_t avail = static_cast<int64_t>(f->sig.size()) - f->pos + n + f->n_fft;
+  return avail > 0 ? avail / f->hop + 2 : 2;
+}
+
+}  // extern "C"

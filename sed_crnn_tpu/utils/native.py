@@ -60,6 +60,21 @@ def _lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.logmel_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.framer_create.restype = ctypes.c_void_p
+    lib.framer_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.framer_destroy.argtypes = [ctypes.c_void_p]
+    for fn in ("framer_feed", "framer_flush"):
+        g = getattr(lib, fn)
+        g.restype = ctypes.c_int64
+    lib.framer_feed.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.framer_flush.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.framer_capacity.restype = ctypes.c_int64
+    lib.framer_capacity.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     return lib
 
 
@@ -105,3 +120,60 @@ def wav_read_mono_native(path: str) -> Tuple[np.ndarray, int]:
     finally:
         lib.logmel_free(buf)
     return out, sr.value
+
+
+class StreamingFramer:
+    """Incremental librosa-center framing of a live PCM stream (the native
+    `StreamFramer`, `native/logmel.cpp`). Feed arbitrary chunks; complete
+    `(k, n_fft)` float32 frame blocks come back as soon as enough samples
+    exist; `flush()` applies the right reflect pad and emits the tail.
+    The concatenated output equals `ops/stft.py::frame_signal` on the whole
+    signal, bit for bit (tested). Single-use after flush."""
+
+    def __init__(self, n_fft: int = 2048, hop: int = 1024, center: bool = True):
+        self._lib = _lib()
+        self._h = self._lib.framer_create(n_fft, hop, int(center))
+        if not self._h:
+            raise ValueError(f"invalid framer params n_fft={n_fft} hop={hop}")
+        self.n_fft, self.hop, self.center = n_fft, hop, center
+        self._flushed = False
+
+    def _drain(self, call, pcm: Optional[np.ndarray]) -> np.ndarray:
+        n = 0 if pcm is None else len(pcm)
+        cap = self._lib.framer_capacity(self._h, n)
+        out = np.empty((cap, self.n_fft), dtype=np.float32)
+        optr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if pcm is None:
+            k = call(self._h, optr, cap)
+        else:
+            pptr = pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            k = call(self._h, pptr, n, optr, cap)
+        if k < 0:
+            raise ValueError(
+                "streaming framer error (center mode needs more than "
+                "n_fft/2 samples before flush)"
+            )
+        return out[:k]
+
+    def feed(self, pcm: np.ndarray) -> np.ndarray:
+        if self._flushed:
+            raise RuntimeError("framer already flushed")
+        pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+        return self._drain(self._lib.framer_feed, pcm)
+
+    def flush(self) -> np.ndarray:
+        if self._flushed:
+            raise RuntimeError("framer already flushed")
+        self._flushed = True
+        return self._drain(self._lib.framer_flush, None)
+
+    def close(self):
+        if self._h:
+            self._lib.framer_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -77,3 +77,49 @@ def test_native_wav_reader_rejects_garbage(built, tmp_path):
         f.write(b"definitely not RIFF")
     with pytest.raises(ValueError):
         native.wav_read_mono_native(p)
+
+
+class TestStreamingFramer:
+    """Native incremental framer vs whole-signal `frame_signal`."""
+
+    def _ref(self, y, n_fft, hop, center):
+        import jax.numpy as jnp
+
+        from sed_crnn_tpu.ops.stft import frame_signal
+
+        return np.asarray(frame_signal(jnp.asarray(y), n_fft, hop, center))
+
+    @pytest.mark.parametrize("center", [True, False])
+    def test_chunked_feed_matches_whole_signal(self, rng, center):
+        from sed_crnn_tpu.utils.native import StreamingFramer, native_available
+
+        if not native_available():
+            pytest.skip("no g++ / native source")
+        n_fft, hop = 256, 128
+        y = rng.standard_normal(n_fft * 7 + 41).astype(np.float32)
+        fr = StreamingFramer(n_fft, hop, center)
+        got, i = [], 0
+        while i < len(y):
+            step = int(rng.integers(1, 700))
+            got.append(fr.feed(y[i : i + step]))
+            i += step
+        got.append(fr.flush())
+        got = np.concatenate([g for g in got if g.size], axis=0)
+        want = self._ref(y, n_fft, hop, center)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+    def test_flush_guards(self, rng):
+        from sed_crnn_tpu.utils.native import StreamingFramer, native_available
+
+        if not native_available():
+            pytest.skip("no g++ / native source")
+        fr = StreamingFramer(256, 128, True)
+        fr.feed(rng.standard_normal(10).astype(np.float32))
+        with pytest.raises(ValueError):  # < n_fft/2 samples: reflect undefined
+            fr.flush()
+        fr2 = StreamingFramer(256, 128, True)
+        fr2.feed(rng.standard_normal(300).astype(np.float32))
+        fr2.flush()
+        with pytest.raises(RuntimeError):
+            fr2.flush()
