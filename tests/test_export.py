@@ -150,6 +150,77 @@ def test_multiplatform_lowering_serializes():
     assert set(p.lower() for p in back.platforms) == {"cpu", "tpu"}
 
 
+def test_realtime_chain_matches_offline(rng):
+    """The live serving chain — native StreamingFramer on PCM packets ->
+    per-frame log-mel -> artifact stream_step — must reproduce the offline
+    pipeline (frontend.extract on the whole file -> artifact.stream)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from sed_crnn_tpu.ops import frontend as frontend_ops
+    from sed_crnn_tpu.ops.mel import mel_filterbank
+    from sed_crnn_tpu.ops.stft import hann_window, power_spectrum_fft
+    from sed_crnn_tpu.utils import native
+
+    if not native.native_available():
+        pytest.skip("no g++ / native source")
+
+    cfg = _tiny_cfg()
+    fcfg = dc.replace(cfg.frontend, log_floor=1e-10)
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+
+    sr = fcfg.sample_rate
+    pcm = (0.1 * rng.standard_normal(sr * 3)).astype(np.float32)
+
+    # Offline: whole-file extraction, whole-recording streaming.
+    mel_off = frontend_ops.extract(pcm, fcfg)
+    probs_off = art.stream(mel_off)
+
+    # Live: PCM packets -> frames -> log-mel rows -> chunk-at-a-time steps.
+    fb = jnp.asarray(
+        mel_filterbank(sr, fcfg.n_fft, fcfg.n_mels, fcfg.fmin, fcfg.fmax)
+    )
+    win = jnp.asarray(hann_window(fcfg.n_fft))
+
+    def mel_rows(frames):
+        power = power_spectrum_fft(jnp.asarray(frames), fcfg.n_fft, win)
+        return np.asarray(
+            jnp.log(jnp.maximum(power @ fb.T, fcfg.log_floor))
+        )
+
+    framer = native.StreamingFramer(fcfg.n_fft, fcfg.hop_length, fcfg.center)
+    chunk_frames = cfg.model.seq_len_in
+    carry = art.stream_init()
+    pending, live = [], []
+    i = 0
+    while i < len(pcm):
+        step = int(rng.integers(256, 8192))
+        frames = framer.feed(pcm[i : i + step])
+        i += step
+        if frames.size:
+            pending.append(mel_rows(frames))
+        buf = np.concatenate(pending, axis=0) if pending else np.empty((0, fcfg.n_mels))
+        while buf.shape[0] >= chunk_frames:
+            carry, probs = art.stream_step(carry, buf[:chunk_frames])
+            live.append(np.asarray(probs))
+            buf = buf[chunk_frames:]
+        pending = [buf] if buf.size else []
+    # End of stream: flush the framer; ignore the final ragged partial chunk
+    # exactly like art.stream's trim does.
+    frames = framer.flush()
+    if frames.size:
+        pending.append(mel_rows(frames))
+
+    probs_live = np.concatenate(live, axis=0)
+    n = min(len(probs_live), len(probs_off))
+    assert n > 0
+    np.testing.assert_allclose(
+        probs_live[:n], probs_off[:n], rtol=0, atol=2e-5
+    )
+
+
 def test_batched_streaming(rng):
     """stream_step_batch serves b concurrent streams; each stream's chain
     must match running it alone through stream_step."""
