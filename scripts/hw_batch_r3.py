@@ -34,6 +34,10 @@ sys.path.insert(0, os.path.join(
 
 def export_check(work: str) -> dict:
     import jax
+    import jax.numpy as jnp
+
+    def jnp_sum(a):
+        return jnp.sum(a)
 
     from sed_crnn_tpu.core import checkpoint as ckpt_io
     from sed_crnn_tpu.core.config import get_preset
@@ -78,21 +82,28 @@ def export_check(work: str) -> dict:
     got = np.asarray(loaded.forward(raw))
     max_err = float(np.abs(got - want).max())
 
-    # Latency: warm windowed forward (B=64) and streaming step.
-    loaded.forward(raw)  # warm/compile
-    t0 = time.time()
+    # Latency: warm windowed forward (B=64) and streaming step. NOTE
+    # block_until_ready lies under axon (docs/ROADMAP.md); materialize ONE
+    # dependent scalar after the rep loop so the fetch waits for all reps.
+    float(jnp_sum(loaded.forward(raw)))  # warm/compile + settle
     reps = 20
+    t0 = time.time()
+    acc = 0.0
     for _ in range(reps):
-        jax.block_until_ready(loaded.forward(raw))
+        acc = acc + jnp_sum(loaded.forward(raw))
+    float(acc)
     fwd_ms = (time.time() - t0) / reps * 1e3
 
     carry = loaded.stream_init()
     chunk = raw[0]
-    carry, _ = loaded.stream_step(carry, chunk)  # warm
+    carry, probs = loaded.stream_step(carry, chunk)  # warm
+    float(jnp_sum(probs))
     t0 = time.time()
+    acc = 0.0
     for _ in range(reps):
         carry, probs = loaded.stream_step(carry, chunk)
-    jax.block_until_ready(probs)
+        acc = acc + jnp_sum(probs)
+    float(acc)
     step_ms = (time.time() - t0) / reps * 1e3
 
     line = {
