@@ -119,6 +119,7 @@ def infer_file_artifact(
     artifact_path: str,
     threshold: float = 0.5,
     log_floor: float = 1e-10,
+    lookahead: bool = False,
 ):
     """Serve from an AOT artifact (`apps/export.py`): the artifact's meta
     carries the frontend parameters and its programs carry the weights and
@@ -136,7 +137,7 @@ def infer_file_artifact(
 
     pcm = decode_audio(wav_path, sr=fcfg.sample_rate, mono=True)
     mel = frontend.extract(pcm, fcfg)
-    probs = art.stream(mel)
+    probs = art.stream(mel, lookahead=lookahead)
 
     pool = int(art.meta["seq_len_in"]) // int(art.meta["seq_len_out"])
     out_hop = fcfg.hop_length * pool
@@ -177,7 +178,8 @@ def main(argv=None):
 
     if args.artifact:
         probs, events, meta = infer_file_artifact(
-            args.wav, args.artifact, args.threshold, args.log_floor
+            args.wav, args.artifact, args.threshold, args.log_floor,
+            args.lookahead,
         )
     else:
         stats = (

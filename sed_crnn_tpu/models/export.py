@@ -111,9 +111,20 @@ class ServingArtifact:
             carry, jnp.asarray(chunks, jnp.float32)
         )
 
-    def stream(self, mel: np.ndarray) -> np.ndarray:
+    def stream_step_lookahead(self, carry, chunk_pair) -> Tuple[Any, jax.Array]:
+        """Pair step ([chunk_k, chunk_k+1], 2T frames): emits chunk k's
+        probs with one chunk of real right context; the returned carry is
+        the mid-sequence forward state for the next pair (one chunk of
+        latency — `models/streaming.py::stream_logits_lookahead`)."""
+        return self.fns["stream_step_lookahead"].call(
+            carry, jnp.asarray(chunk_pair, jnp.float32)
+        )
+
+    def stream(self, mel: np.ndarray, lookahead: bool = False) -> np.ndarray:
         """Host loop over chunks: (frames, F*C) -> (out_frames, K) probs,
-        trimmed to the true length like `stream_probabilities`."""
+        trimmed to the true length like `stream_probabilities`.
+        ``lookahead=True`` runs the pair steps (bounded right context at one
+        chunk of latency)."""
         chunk = int(self.meta["seq_len_in"])
         n = mel.shape[0]
         n_chunks = -(-n // chunk)
@@ -122,7 +133,18 @@ class ServingArtifact:
         )
         carry, outs = self.stream_init(), []
         for k in range(n_chunks):
-            carry, probs = self.stream_step(carry, mel[k * chunk:(k + 1) * chunk])
+            cur = mel[k * chunk:(k + 1) * chunk]
+            if lookahead:
+                nxt = (
+                    mel[(k + 1) * chunk:(k + 2) * chunk]
+                    if k + 1 < n_chunks
+                    else np.zeros_like(cur)
+                )
+                carry, probs = self.stream_step_lookahead(
+                    carry, np.concatenate([cur, nxt], axis=0)
+                )
+            else:
+                carry, probs = self.stream_step(carry, cur)
             outs.append(np.asarray(probs))
         pool = chunk // int(self.meta["seq_len_out"])
         return np.concatenate(outs, axis=0)[: n // pool]
@@ -203,7 +225,24 @@ def _build_inference(cfg: ExperimentConfig, params, state, norm_stats,
         ]
         return new_carry, jax.nn.sigmoid(logits[0])
 
-    return mcfg, forward, stream_init, stream_step, carry0
+    t_chunk = model.seq_len_out  # GRU timesteps per chunk
+
+    def stream_step_lookahead(carry, chunk_pair):
+        # [chunk_k, chunk_k+1] pair pass: emit chunk k with one chunk of
+        # real right context; the forward carry for the next pair is the
+        # mid-sequence GRU state (carry_at), not a second pass — exactly
+        # `models/streaming.py::stream_logits_lookahead`'s step.
+        x = _norm(chunk_pair[None])
+        logits, _, mid = model.apply(
+            params, state, x, Ctx(train=False), rnn_carry=carry,
+            carry_at=t_chunk - 1,
+        )
+        new_carry = [
+            {"fwd": m["fwd"], "bwd": z["bwd"]} for m, z in zip(mid, carry0)
+        ]
+        return new_carry, jax.nn.sigmoid(logits[0, :t_chunk])
+
+    return mcfg, forward, stream_init, stream_step, stream_step_lookahead, carry0
 
 
 def export_serving(
@@ -222,8 +261,8 @@ def export_serving(
     normalization is folded INTO the exported programs, so callers feed raw
     log-mel features and cannot pair the model with the wrong statistics.
     """
-    mcfg, forward, stream_init, stream_step, carry0 = _build_inference(
-        cfg, params, state, norm_stats, compute_dtype
+    mcfg, forward, stream_init, stream_step, stream_step_la, carry0 = (
+        _build_inference(cfg, params, state, norm_stats, compute_dtype)
     )
     t_in = mcfg.seq_len_in
     feat = mcfg.n_mels * mcfg.in_channels
@@ -242,6 +281,18 @@ def export_serving(
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), carry0
                 ),
                 jax.ShapeDtypeStruct((t_in, feat), f32),
+            ],
+            platforms,
+        ),
+        # Lookahead pair step: emit chunk k after seeing chunk k+1 (one
+        # chunk of latency for bounded right context).
+        "stream_step_lookahead": _export_fn(
+            stream_step_la,
+            [
+                jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), carry0
+                ),
+                jax.ShapeDtypeStruct((2 * t_in, feat), f32),
             ],
             platforms,
         ),
@@ -303,7 +354,7 @@ def export_tf_savedmodel(
     import tensorflow as tf  # deferred: TF is only needed for this format
     from jax.experimental import jax2tf
 
-    mcfg, forward, _, _, _ = _build_inference(
+    mcfg, forward, _, _, _, _ = _build_inference(
         cfg, params, state, norm_stats, compute_dtype
     )
     t_in = mcfg.seq_len_in

@@ -221,6 +221,22 @@ def test_realtime_chain_matches_offline(rng):
     )
 
 
+def test_lookahead_streaming_matches_module(rng):
+    """Artifact lookahead pair-steps == `stream_probabilities(lookahead=True)`."""
+    from sed_crnn_tpu.models.streaming import stream_probabilities
+
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    mel = rng.standard_normal(
+        (cfg.model.seq_len_in * 4 + 9, cfg.model.n_mels)
+    ).astype(np.float32)
+    got = art.stream(mel, lookahead=True)
+    want = stream_probabilities(model, params, state, mel, lookahead=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_batched_streaming(rng):
     """stream_step_batch serves b concurrent streams; each stream's chain
     must match running it alone through stream_step."""
