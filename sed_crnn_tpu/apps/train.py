@@ -78,6 +78,13 @@ def main(argv=None):
                    help="train on generated data (smoke/benchmark run)")
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="train data-parallel over N devices (0 = single device)")
+    p.add_argument("--runs", type=int, default=1, metavar="N",
+                   help="repeat the experiment over N seeds trained as one "
+                        "stacked program and report mean±std ER/F1 (the "
+                        "reference README's 'mean of 5 runs' protocol)")
+    p.add_argument("--seed-parallel", type=int, default=0, metavar="N",
+                   help="with --runs: shard the seed axis over N devices "
+                        "(runs must divide evenly)")
     p.add_argument("--slow-prng", action="store_true",
                    help="keep jax's default threefry PRNG (default: TPU-native rbg)")
     args = p.parse_args(argv)
@@ -139,6 +146,26 @@ def main(argv=None):
         )
     os.makedirs(art_root, exist_ok=True)
     print(f"ARTIFACTS -> {art_root}")
+
+    if args.runs > 1:
+        from sed_crnn_tpu.train import multiseed
+
+        if args.resume:
+            p.error("--resume with --runs: resume individual seeds via "
+                    "run_fold(resume_from=<seed dir>/last_fold<k>.npz) instead")
+        if args.data_parallel:
+            p.error("--runs composes with --seed-parallel, not --data-parallel "
+                    "(the seed axis is the cheaper multi-chip axis here)")
+        mesh = None
+        if args.seed_parallel:
+            from sed_crnn_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.seed_parallel, axis_name="seed")
+            print(f"seed-parallel over {args.seed_parallel} devices")
+        multiseed.run_experiment_multiseed(
+            cfg, folds, art_root, n_runs=args.runs, mesh=mesh
+        )
+        return
 
     trainer_factory = None
     if args.data_parallel:

@@ -176,7 +176,24 @@ def _epoch_program(
     static_full: bool = False,
     pad_mode: str = "cond",
 ):
-    """Build + jit one epoch program.
+    """Build + jit one epoch program (see `_build_epoch` for semantics)."""
+    return jax.jit(
+        _build_epoch(model, tcfg, spec, n_steps_max, mode, dp, static_full, pad_mode)
+    )
+
+
+def _build_epoch(
+    model: CRNN,
+    tcfg: TrainConfig,
+    spec: WindowSpec,
+    n_steps_max: int,
+    mode: str,
+    dp,  # None | (Mesh, axis_name)
+    static_full: bool = False,
+    pad_mode: str = "cond",
+):
+    """Build one epoch program (unjitted — `_epoch_program` jits it directly;
+    `train/multiseed.py` vmaps it over a stacked-seed axis first).
 
     mode "train": (state, key, data, n_valid_steps) -> (state, scores)
     mode "eval":  (state, key, data, n_valid_steps) -> scores   (random draws)
@@ -321,7 +338,7 @@ def _epoch_program(
                 return state, scores
             return scores
 
-        return jax.jit(epoch)
+        return epoch
 
     # ---- mode == "sweep": deterministic full-split windowed evaluation ----
 
@@ -394,7 +411,7 @@ def _epoch_program(
         scores["loss"] = jnp.sum(loss_sums) / jnp.maximum(jnp.sum(n_elems), 1.0)
         return scores
 
-    return jax.jit(sweep_epoch)
+    return sweep_epoch
 
 
 class Trainer:
