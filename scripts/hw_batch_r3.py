@@ -8,7 +8,9 @@ Stages:
   2. AOT export check — export the demo's trained v1 checkpoint as a
      cpu+tpu serving artifact, run the TPU program, assert parity with the
      live model, time windowed + streaming serving.
-  3. `scripts/flagship_binaural.py` — binaural 4-fold flagship training +
+  3. Multi-seed check — 4 concurrent v1 runs as one stacked program vs the
+     single-run epoch (the `--runs N` protocol's hardware speedup).
+  4. `scripts/flagship_binaural.py` — binaural 4-fold flagship training +
      jitted full-split eval (threshold sweep, segment + event metrics).
 
 Prints one JSON line per stage (stages also print their own).
@@ -120,6 +122,79 @@ def export_check(work: str) -> dict:
     return line
 
 
+def multiseed_check(frames: int = 40_000, n_steps: int = 100,
+                    chain: int = 3, preset: str = "timepooled-v1") -> dict:
+    """Time the stacked multi-seed trainer on hardware: 4 concurrent v1 runs
+    (bf16 trunk, the bench configuration) vs the single-run epoch — the
+    protocol-level speedup of `train/multiseed.py` over 4x sequential.
+    (Parameters exist so the CPU smoke run can shrink the workload.)"""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sed_crnn_tpu.core.config import get_preset
+    from sed_crnn_tpu.data.rasterize import rasterize_events
+    from sed_crnn_tpu.models import get_model
+    from sed_crnn_tpu.train.loop import Trainer, make_samplers
+    from sed_crnn_tpu.train.multiseed import MultiSeedTrainer
+
+    exp = get_preset(preset)
+    exp = exp.replace(model=dataclasses.replace(exp.model, compute_dtype="bfloat16"))
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((frames, 40)).astype(np.float32)
+    events = [(t, t + 0.3) for t in np.arange(2.0, frames / 43.066 - 3, 2.0)]
+    lab = rasterize_events(events, frames, 44100, 1024)
+    fold = {"train_x": mel, "train_y": lab, "val_x": mel[:8000], "val_y": lab[:8000]}
+    ts, vs = make_samplers(exp, fold)
+    model = get_model(exp.model)
+    n_seeds = 4
+
+    def time_epochs(train_epoch, state, mk_keys):
+        def run(seed0):
+            nonlocal state
+            scores = None
+            for r in range(chain):
+                state, scores = train_epoch(state, mk_keys(seed0 + r), n_steps)
+            _ = float(jnp.sum(scores["loss"]))
+
+        run(1)  # compile + warm
+        times = []
+        for r in range(3):
+            t0 = time.time()
+            run(10 + chain * r)
+            times.append(time.time() - t0)
+        return min(times) / chain
+
+    single = Trainer(model, exp.train, ts, vs)
+    dt1 = time_epochs(
+        lambda s, k, n: single.train_epoch(s, k, n),
+        single.init_state(jax.random.PRNGKey(0)),
+        lambda s: jax.random.PRNGKey(s),
+    )
+
+    multi = MultiSeedTrainer(model, exp.train, ts, vs, n_seeds)
+    stm = multi.init_states(
+        jnp.stack([jax.random.PRNGKey(3 + i) for i in range(n_seeds)])
+    )
+    dtm = time_epochs(
+        lambda s, k, n: multi.train_epoch(s, k, n), stm,
+        lambda s: jnp.stack(
+            [jax.random.PRNGKey(s + 97 * i) for i in range(n_seeds)]
+        ),
+    )
+
+    line = {
+        "stage": "multiseed_check",
+        "single_epoch_ms": round(dt1 * 1e3, 1),
+        "stacked4_epoch_ms": round(dtm * 1e3, 1),
+        "aggregate_speedup_vs_sequential": round(n_seeds * dt1 / dtm, 2),
+        "ok": bool(dtm < n_seeds * dt1),
+    }
+    print(json.dumps(line))
+    return line
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--work-dir", default="/tmp/serving_demo")
@@ -141,6 +216,11 @@ def main(argv=None):
         export_check(args.work_dir)
     except Exception as e:  # keep the batch going; report the failure
         print(json.dumps({"stage": "export_check", "error": repr(e)}))
+
+    try:
+        multiseed_check()
+    except Exception as e:
+        print(json.dumps({"stage": "multiseed_check", "error": repr(e)}))
 
     if not args.skip_binaural:
         import flagship_binaural
