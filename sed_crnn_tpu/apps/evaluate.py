@@ -4,6 +4,14 @@ windows during training and has no standalone eval entry point).
 
   python -m sed_crnn_tpu.apps.evaluate --checkpoint best_fold1.npz \
       --preset timepooled-v2 --cache-dir cache/ --fold 1
+
+Several checkpoints (e.g. the per-seed bests of a `sedtpu-train --runs N`
+experiment) score each member individually (mean±std — the reference
+README's "mean of 5 runs" aggregation at eval time) AND as a probability
+ensemble (vmapped stacked-member forward, averaged sigmoids):
+
+  python -m sed_crnn_tpu.apps.evaluate \
+      --checkpoint fold1/seed*/best_fold1.npz --preset ... --cache-dir ...
 """
 
 from __future__ import annotations
@@ -20,7 +28,9 @@ from sed_crnn_tpu.train.evaluate import evaluate_split
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True, nargs="+",
+                   help="one checkpoint, or several for per-member mean±std "
+                        "plus a probability-ensemble score")
     p.add_argument("--preset", default="timepooled-v2")
     p.add_argument("--cache-dir", required=True)
     p.add_argument("--fold", type=int, default=1)
@@ -48,22 +58,55 @@ def main(argv=None):
 
     cfg = get_preset(args.preset)
     model = get_model(cfg.model)
-    tree, meta = ckpt_io.load_checkpoint(args.checkpoint)
+    loaded = [ckpt_io.load_checkpoint(c) for c in args.checkpoint]
     fold = store.load_fold(args.cache_dir, args.fold, args.channel_tag)
+    x, y = fold[f"{args.split}_x"], fold[f"{args.split}_y"]
 
-    report = evaluate_split(
-        model,
-        tree["params"],
-        tree["model_state"],
-        fold[f"{args.split}_x"],
-        fold[f"{args.split}_y"],
-        cfg,
-        batch_size=args.batch_size,
-        event_matching=args.event_matching,
-        mesh=mesh,
-    )
-    report["checkpoint"] = args.checkpoint
-    report["checkpoint_epoch"] = meta.get("epoch")
+    def run(params, state, ensemble=False):
+        return evaluate_split(
+            model, params, state, x, y, cfg,
+            batch_size=args.batch_size,
+            event_matching=args.event_matching,
+            mesh=mesh,
+            ensemble=ensemble,
+        )
+
+    if len(loaded) == 1:
+        tree, meta = loaded[0]
+        report = run(tree["params"], tree["model_state"])
+        report["checkpoint"] = args.checkpoint[0]
+        report["checkpoint_epoch"] = meta.get("epoch")
+    else:
+        import numpy as np
+
+        from sed_crnn_tpu.train.evaluate import stack_trees
+
+        members = []
+        for path, (tree, meta) in zip(args.checkpoint, loaded):
+            r = run(tree["params"], tree["model_state"])
+            members.append({
+                "checkpoint": path,
+                "checkpoint_epoch": meta.get("epoch"),
+                "er_1s": r["er_1s"], "f1_1s": r["f1_1s"],
+                "best_er_1s": r["best_er_1s"],
+                "best_threshold": r["best_threshold"],
+            })
+        ens = run(
+            stack_trees([t["params"] for t, _ in loaded]),
+            stack_trees([t["model_state"] for t, _ in loaded]),
+            ensemble=True,
+        )
+        ers = [m["er_1s"] for m in members]
+        f1s = [m["f1_1s"] for m in members]
+        report = {
+            "n_members": len(members),
+            "members": members,
+            "mean_er_1s": float(np.mean(ers)),
+            "std_er_1s": float(np.std(ers)),
+            "mean_f1_1s": float(np.mean(f1s)),
+            "std_f1_1s": float(np.std(f1s)),
+            "ensemble": ens,
+        }
     report["fold"] = args.fold
     report["split"] = args.split
 

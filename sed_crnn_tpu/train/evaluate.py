@@ -38,28 +38,47 @@ def window_split(
     return xw, yw
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def _forward_all(model: CRNN, params, state, xw, batch_size: int):
+def stack_trees(trees):
+    """Stack N pytrees of identical structure along a new leading axis —
+    the member axis for `evaluate_split(..., ensemble=True)`."""
+    if len(trees) < 1:
+        raise ValueError("need at least one tree")
+    return jax.tree.map(lambda *ls: jnp.stack([jnp.asarray(l) for l in ls]), *trees)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _forward_all(model: CRNN, params, state, xw, batch_size: int,
+                 ensemble: bool = False):
     """Probabilities for every window, batched via lax.map; the caller trims
-    padded tail windows from the result."""
+    padded tail windows from the result. With ``ensemble``, params/state
+    carry a leading member axis: each batch runs a vmapped forward over the
+    members and the sigmoid probabilities are averaged (the standard
+    probability-ensemble of the N runs the reference averages by hand)."""
     n = xw.shape[0]
     n_batches = n // batch_size
     xb = xw[: n_batches * batch_size].reshape(n_batches, batch_size, *xw.shape[1:])
 
     def fwd(batch):
-        logits, _, _ = model.apply(params, state, batch, Ctx(train=False))
-        return jax.nn.sigmoid(logits)
+        def one(p, s):
+            logits, _, _ = model.apply(p, s, batch, Ctx(train=False))
+            return jax.nn.sigmoid(logits)
+
+        if ensemble:
+            return jnp.mean(jax.vmap(one)(params, state), axis=0)
+        return one(params, state)
 
     probs = jax.lax.map(fwd, xb)
     return probs.reshape(n_batches * batch_size, *probs.shape[2:])
 
 
 def _forward_all_dp(
-    model: CRNN, params, state, xw, batch_size: int, mesh, axis_name: str
+    model: CRNN, params, state, xw, batch_size: int, mesh, axis_name: str,
+    ensemble: bool = False,
 ):
     """Mesh-sharded variant: the batched-window axis splits across the mesh,
     each device `lax.map`s its share, XLA gathers the probabilities. Caller
-    guarantees n_batches % n_devices == 0 (see `evaluate_split` padding)."""
+    guarantees n_batches % n_devices == 0 (see `evaluate_split` padding).
+    ``ensemble`` as in `_forward_all` (members replicated on every device)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -71,8 +90,13 @@ def _forward_all_dp(
 
     def fwd_shard(p, s, xs):
         def fwd(batch):
-            logits, _, _ = model.apply(p, s, batch, Ctx(train=False))
-            return jax.nn.sigmoid(logits)
+            def one(pp, ss):
+                logits, _, _ = model.apply(pp, ss, batch, Ctx(train=False))
+                return jax.nn.sigmoid(logits)
+
+            if ensemble:
+                return jnp.mean(jax.vmap(one)(p, s), axis=0)
+            return one(p, s)
 
         return jax.lax.map(fwd, xs)
 
@@ -101,6 +125,7 @@ def evaluate_split(
     event_matching: str = "optimal",
     mesh=None,
     axis_name: Optional[str] = None,
+    ensemble: bool = False,
 ) -> Dict:
     """Evaluate one (features, labels) split end to end. Returns metrics at
     the configured threshold plus the full sweep and best-ER threshold.
@@ -109,7 +134,9 @@ def evaluate_split(
     ``mesh`` shards the window axis across the devices of a 1-D
     `jax.sharding.Mesh` (`axis_name` defaults to the data axis) — the
     multi-chip path for large-split scoring; results are identical to the
-    single-device program."""
+    single-device program.
+    ``ensemble``: params/state are N stacked member trees (`stack_trees`);
+    the report scores the mean of the members' sigmoid probabilities."""
     m = cfg.model
     t = cfg.train
     thresholds = DEFAULT_THRESHOLDS if thresholds is None else np.asarray(thresholds)
@@ -133,10 +160,13 @@ def evaluate_split(
 
     if mesh is not None:
         probs = _forward_all_dp(
-            model, params, state, jnp.asarray(xw), batch_size, mesh, axis_name
+            model, params, state, jnp.asarray(xw), batch_size, mesh, axis_name,
+            ensemble,
         )
     else:
-        probs = _forward_all(model, params, state, jnp.asarray(xw), batch_size)
+        probs = _forward_all(
+            model, params, state, jnp.asarray(xw), batch_size, ensemble
+        )
     probs = probs[:n]
     flat_p = probs.reshape(-1, probs.shape[-1])
     flat_y = jnp.asarray(yw.reshape(-1, yw.shape[-1]))

@@ -103,6 +103,106 @@ def test_evaluate_app_cli(tmp_path, rng):
     assert len(report["sweep"]["er_1s"]) == len(eval_mod.DEFAULT_THRESHOLDS)
 
 
+def test_ensemble_of_identical_members_equals_single(rng):
+    """Averaging N copies of the same member's probabilities is the identity:
+    the ensemble report must equal the single-model report exactly."""
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x, y = _split(rng, 2000)
+
+    kw = dict(thresholds=np.asarray([0.3, 0.5], np.float32), batch_size=8)
+    single = eval_mod.evaluate_split(model, params, state, x, y, cfg, **kw)
+    ens = eval_mod.evaluate_split(
+        model,
+        eval_mod.stack_trees([params, params]),
+        eval_mod.stack_trees([state, state]),
+        x, y, cfg, ensemble=True, **kw,
+    )
+    for k in ("er_1s", "f1_1s", "best_er_1s", "er_frame", "f1_frame"):
+        np.testing.assert_allclose(ens[k], single[k], rtol=0, atol=1e-6)
+
+
+def test_ensemble_averages_probabilities(rng):
+    """A 2-member ensemble's probabilities are the member mean — checked by
+    reconstructing the forward by hand through the public model API."""
+    import jax.numpy as jnp
+
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    pa, sa = model.init(jax.random.PRNGKey(0))
+    pb, sb = model.init(jax.random.PRNGKey(1))
+    x, y = _split(rng, 1500)
+    xw, _ = eval_mod.window_split(x, y, cfg.model.seq_len_in, cfg.model.seq_len_out)
+
+    got = eval_mod._forward_all(
+        model,
+        eval_mod.stack_trees([pa, pb]),
+        eval_mod.stack_trees([sa, sb]),
+        jnp.asarray(xw), 4, True,
+    )
+    la, _, _ = model.apply(pa, sa, jnp.asarray(xw), Ctx(train=False))
+    lb, _, _ = model.apply(pb, sb, jnp.asarray(xw), Ctx(train=False))
+    want = (np.asarray(jax.nn.sigmoid(la)) + np.asarray(jax.nn.sigmoid(lb))) / 2
+    n = got.shape[0]
+    np.testing.assert_allclose(np.asarray(got), want[:n], atol=1e-6)
+
+
+def test_ensemble_sharded_matches_single_device(rng):
+    from sed_crnn_tpu.parallel.mesh import make_mesh
+
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    pa, sa = model.init(jax.random.PRNGKey(0))
+    pb, sb = model.init(jax.random.PRNGKey(1))
+    x, y = _split(rng, 2000)
+    ps = eval_mod.stack_trees([pa, pb])
+    ss = eval_mod.stack_trees([sa, sb])
+
+    kw = dict(thresholds=np.asarray([0.5], np.float32), batch_size=4,
+              ensemble=True)
+    single = eval_mod.evaluate_split(model, ps, ss, x, y, cfg, **kw)
+    sharded = eval_mod.evaluate_split(
+        model, ps, ss, x, y, cfg, mesh=make_mesh(8), **kw
+    )
+    for k in ("er_1s", "f1_1s", "best_er_1s"):
+        np.testing.assert_allclose(sharded[k], single[k], rtol=0, atol=1e-6)
+
+
+def test_evaluate_app_multi_checkpoint(tmp_path, rng):
+    """CLI with several checkpoints: per-member mean±std plus the ensemble."""
+    from sed_crnn_tpu.apps import evaluate as eval_app
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    paths = []
+    for i in range(2):
+        params, state = model.init(jax.random.PRNGKey(i))
+        p = str(tmp_path / f"ck{i}.npz")
+        ckpt_io.save_checkpoint(
+            p, {"params": params, "model_state": state}, {"epoch": i + 1}
+        )
+        paths.append(p)
+
+    x, y = _split(rng, 2000)
+    np.savez(str(tmp_path / "mbe_mon_fold1.npz"), x, y, x[:1000], y[:1000])
+    out = str(tmp_path / "report.json")
+    eval_app.main(
+        ["--checkpoint", *paths, "--cache-dir", str(tmp_path), "--fold", "1",
+         "--batch-size", "8", "--out", out]
+    )
+    report = json.loads(open(out).read())
+    assert report["n_members"] == 2
+    assert len(report["members"]) == 2
+    assert report["members"][0]["checkpoint_epoch"] == 1
+    assert report["std_er_1s"] >= 0.0
+    assert "er_1s" in report["ensemble"]
+    assert report["mean_er_1s"] == pytest.approx(
+        np.mean([m["er_1s"] for m in report["members"]])
+    )
+
+
 def test_binaural_dcase_path_end_to_end(rng):
     """Binaural features (per-channel mel stacked on the feature axis, the
     reference's fold-pack layout) -> split_multi_channels -> binaural SEDnet."""
