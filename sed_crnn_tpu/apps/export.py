@@ -20,7 +20,10 @@ import os
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True, help="npz checkpoint path")
+    p.add_argument("--checkpoint", required=True, nargs="+",
+                   help="npz checkpoint path; several paths (e.g. the "
+                        "per-seed bests of sedtpu-train --runs N) export "
+                        "their probability ensemble as one artifact")
     p.add_argument("--preset", default="timepooled-v1")
     p.add_argument("--out", required=True, help="output artifact path (.sedart)")
     p.add_argument(
@@ -57,8 +60,17 @@ def main(argv=None):
     from sed_crnn_tpu.models.export import export_serving, export_tf_savedmodel
 
     cfg = get_preset(args.preset)
-    tree, meta = ckpt_io.load_checkpoint(args.checkpoint)
-    params, state = tree["params"], tree["model_state"]
+    loaded = [ckpt_io.load_checkpoint(c) for c in args.checkpoint]
+    n_members = len(loaded) if len(loaded) > 1 else 0
+    if n_members:
+        from sed_crnn_tpu.train.evaluate import stack_trees
+
+        params = stack_trees([t["params"] for t, _ in loaded])
+        state = stack_trees([t["model_state"] for t, _ in loaded])
+        meta = {"members": [m for _, m in loaded]}
+    else:
+        tree, meta = loaded[0]
+        params, state = tree["params"], tree["model_state"]
 
     norm_stats = None
     if args.stats_from:
@@ -77,7 +89,7 @@ def main(argv=None):
     if args.format == "tf":
         export_tf_savedmodel(
             cfg, params, state, args.out, norm_stats=norm_stats,
-            compute_dtype=args.compute_dtype,
+            compute_dtype=args.compute_dtype, ensemble_members=n_members,
         )
         print(
             json.dumps(
@@ -85,6 +97,7 @@ def main(argv=None):
                     "artifact": args.out,
                     "format": "tf_saved_model",
                     "norm_folded": norm_stats is not None,
+                    "ensemble_members": n_members,
                     "checkpoint_meta": meta,
                 }
             )
@@ -99,6 +112,7 @@ def main(argv=None):
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
         preset=args.preset,
         compute_dtype=args.compute_dtype,
+        ensemble_members=n_members,
     )
     artifact.save(args.out)
     print(
@@ -109,6 +123,7 @@ def main(argv=None):
                 "bytes": os.path.getsize(args.out),
                 "platforms": artifact.meta["platforms"],
                 "norm_folded": artifact.meta["norm_folded"],
+                "ensemble_members": n_members,
                 "checkpoint_meta": meta,
             }
         )

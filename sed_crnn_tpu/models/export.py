@@ -182,19 +182,27 @@ class ServingArtifact:
 
 
 def _build_inference(cfg: ExperimentConfig, params, state, norm_stats,
-                     compute_dtype=None):
+                     compute_dtype=None, n_members: int = 0):
     """The shared inference closures every export format lowers:
     (mcfg, forward, stream_init, stream_step, carry0). Normalization (when
     stats are given) is folded into the closures. ``compute_dtype``
     overrides the activation dtype (e.g. "bfloat16" for TPU serving — the
     same trunk treatment the training benchmarks run; recurrence and head
-    stay f32 per the model's internal policy)."""
+    stay f32 per the model's internal policy).
+
+    ``n_members`` > 0: params/state carry a leading member axis (N stacked
+    checkpoints, `train/evaluate.py::stack_trees`) and every program serves
+    the probability ensemble — a vmapped forward over the members with
+    averaged sigmoids; streaming carries one RNN state PER member (leading
+    member axis on every carry leaf), so the ensemble streams exactly like
+    N synchronized single-model streams."""
     mcfg: ModelConfig = dataclasses.replace(cfg.model, gru_backend="xla")
     if compute_dtype is not None:
         mcfg = dataclasses.replace(mcfg, compute_dtype=compute_dtype)
     model = get_model(mcfg)
     t_in = mcfg.seq_len_in
     feat = mcfg.n_mels * mcfg.in_channels
+    ens = n_members > 0
 
     if norm_stats is not None:
         mean = jnp.asarray(norm_stats[0], jnp.float32).reshape(1, 1, feat)
@@ -206,24 +214,45 @@ def _build_inference(cfg: ExperimentConfig, params, state, norm_stats,
         return x if mean is None else (x - mean) / scale
 
     def forward(x):
-        logits, _, _ = model.apply(params, state, _norm(x), Ctx(train=False))
-        return jax.nn.sigmoid(logits)
+        xn = _norm(x)
 
-    carry0 = _zero_carry_arrays(model, params, state, t_in)
+        def one(p, s):
+            logits, _, _ = model.apply(p, s, xn, Ctx(train=False))
+            return jax.nn.sigmoid(logits)
+
+        if ens:
+            return jnp.mean(jax.vmap(one)(params, state), axis=0)
+        return one(params, state)
+
+    if ens:
+        p0 = jax.tree.map(lambda a: a[0], params)
+        s0 = jax.tree.map(lambda a: a[0], state)
+        carry0 = _zero_carry_arrays(model, p0, s0, t_in)
+        carry0 = jax.tree.map(
+            lambda a: jnp.zeros((n_members, *a.shape), a.dtype), carry0
+        )
+    else:
+        carry0 = _zero_carry_arrays(model, params, state, t_in)
 
     def stream_init():
         return carry0
 
     def stream_step(carry, chunk):
         x = _norm(chunk[None])
-        logits, _, new_carry = model.apply(
-            params, state, x, Ctx(train=False), rnn_carry=carry
-        )
+
+        def one(p, s, c):
+            logits, _, nc = model.apply(p, s, x, Ctx(train=False), rnn_carry=c)
+            return jax.nn.sigmoid(logits[0]), nc
+
+        if ens:
+            probs, nc = jax.vmap(one)(params, state, carry)
+            probs = jnp.mean(probs, axis=0)
+        else:
+            probs, nc = one(params, state, carry)
         new_carry = [
-            {"fwd": c["fwd"], "bwd": z["bwd"]}
-            for c, z in zip(new_carry, carry0)
+            {"fwd": c["fwd"], "bwd": z["bwd"]} for c, z in zip(nc, carry0)
         ]
-        return new_carry, jax.nn.sigmoid(logits[0])
+        return new_carry, probs
 
     t_chunk = model.seq_len_out  # GRU timesteps per chunk
 
@@ -233,14 +262,22 @@ def _build_inference(cfg: ExperimentConfig, params, state, norm_stats,
         # mid-sequence GRU state (carry_at), not a second pass — exactly
         # `models/streaming.py::stream_logits_lookahead`'s step.
         x = _norm(chunk_pair[None])
-        logits, _, mid = model.apply(
-            params, state, x, Ctx(train=False), rnn_carry=carry,
-            carry_at=t_chunk - 1,
-        )
+
+        def one(p, s, c):
+            logits, _, mid = model.apply(
+                p, s, x, Ctx(train=False), rnn_carry=c, carry_at=t_chunk - 1
+            )
+            return jax.nn.sigmoid(logits[0, :t_chunk]), mid
+
+        if ens:
+            probs, mid = jax.vmap(one)(params, state, carry)
+            probs = jnp.mean(probs, axis=0)
+        else:
+            probs, mid = one(params, state, carry)
         new_carry = [
             {"fwd": m["fwd"], "bwd": z["bwd"]} for m, z in zip(mid, carry0)
         ]
-        return new_carry, jax.nn.sigmoid(logits[0, :t_chunk])
+        return new_carry, probs
 
     return mcfg, forward, stream_init, stream_step, stream_step_lookahead, carry0
 
@@ -253,6 +290,7 @@ def export_serving(
     platforms: Sequence[str] = ("cpu", "tpu"),
     preset: Optional[str] = None,
     compute_dtype: Optional[str] = None,
+    ensemble_members: int = 0,
 ) -> ServingArtifact:
     """Export the inference surface of a trained model.
 
@@ -260,9 +298,15 @@ def export_serving(
     TRAIN-split statistics (`data/store.py::load_fold_stats`). When given,
     normalization is folded INTO the exported programs, so callers feed raw
     log-mel features and cannot pair the model with the wrong statistics.
+
+    ``ensemble_members`` > 0: params/state are N stacked checkpoints
+    (`train/evaluate.py::stack_trees`); the artifact serves their
+    probability ensemble as ONE set of programs (see `_build_inference`).
     """
     mcfg, forward, stream_init, stream_step, stream_step_la, carry0 = (
-        _build_inference(cfg, params, state, norm_stats, compute_dtype)
+        _build_inference(
+            cfg, params, state, norm_stats, compute_dtype, ensemble_members
+        )
     )
     t_in = mcfg.seq_len_in
     feat = mcfg.n_mels * mcfg.in_channels
@@ -322,6 +366,7 @@ def export_serving(
         "sample_rate": cfg.frontend.sample_rate,
         "hop_length": cfg.frontend.hop_length,
         "norm_folded": norm_stats is not None,
+        "ensemble_members": ensemble_members,
         # Full frontend parameters so a serving host can run feature
         # extraction with zero configuration (`apps/infer.py --artifact`).
         "frontend": dataclasses.asdict(cfg.frontend),
@@ -340,6 +385,7 @@ def export_tf_savedmodel(
     out_dir: str,
     norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     compute_dtype: Optional[str] = None,
+    ensemble_members: int = 0,
 ) -> str:
     """Export the windowed forward as a TensorFlow SavedModel (via jax2tf).
 
@@ -355,7 +401,7 @@ def export_tf_savedmodel(
     from jax.experimental import jax2tf
 
     mcfg, forward, _, _, _, _ = _build_inference(
-        cfg, params, state, norm_stats, compute_dtype
+        cfg, params, state, norm_stats, compute_dtype, ensemble_members
     )
     t_in = mcfg.seq_len_in
     feat = mcfg.n_mels * mcfg.in_channels

@@ -138,6 +138,51 @@ def test_binaural_streaming_and_export(rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_ensemble_export_forward_and_stream(rng):
+    """A 2-member ensemble artifact's forward is the mean of the members'
+    sigmoid probabilities, and its streaming path equals two synchronized
+    single-model streams averaged (per-member carries)."""
+    from sed_crnn_tpu.train.evaluate import stack_trees
+
+    cfg = _tiny_cfg()
+    model, pa, sa = _init(cfg, seed=0)
+    _, pb, sb = _init(cfg, seed=1)
+    art = export_serving(
+        cfg, stack_trees([pa, pb]), stack_trees([sa, sb]),
+        platforms=("cpu",), ensemble_members=2,
+    )
+    assert art.meta["ensemble_members"] == 2
+    feat = cfg.model.n_mels
+    x = rng.standard_normal((3, cfg.model.seq_len_in, feat)).astype(np.float32)
+    got = np.asarray(art.forward(x))
+    want = (_ref_forward(model, pa, sa, x) + _ref_forward(model, pb, sb, x)) / 2
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+    # streaming: member-wise single-model artifacts averaged
+    arta = export_serving(cfg, pa, sa, platforms=("cpu",))
+    artb = export_serving(cfg, pb, sb, platforms=("cpu",))
+    mel = rng.standard_normal((3 * cfg.model.seq_len_in + 7, feat)).astype(
+        np.float32
+    )
+    for lookahead in (False, True):
+        ens_stream = art.stream(mel, lookahead=lookahead)
+        want_stream = (
+            arta.stream(mel, lookahead=lookahead)
+            + artb.stream(mel, lookahead=lookahead)
+        ) / 2
+        np.testing.assert_allclose(ens_stream, want_stream, rtol=0, atol=1e-6)
+
+    # identical members collapse to the single model exactly
+    art_same = export_serving(
+        cfg, stack_trees([pa, pa]), stack_trees([sa, sa]),
+        platforms=("cpu",), ensemble_members=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(art_same.forward(x)), _ref_forward(model, pa, sa, x),
+        rtol=0, atol=1e-6,
+    )
+
+
 def test_multiplatform_lowering_serializes():
     """cpu+tpu multi-platform lowering works without TPU hardware attached
     and survives (de)serialization."""
