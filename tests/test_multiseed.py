@@ -142,6 +142,49 @@ def test_multiseed_sharded_over_mesh(tmp_path, rng):
         assert a.best_er == pytest.approx(b.best_er, abs=0.15)
 
 
+def test_multiseed_full_sweep_validation(tmp_path, rng):
+    """Sequence-sampler presets validate by a deterministic full-split sweep
+    (`_use_full_sweep`); the vmapped sweep program must reproduce the
+    individual run's deterministic scores per seed."""
+    import dataclasses
+
+    cfg = get_preset("sednet-dcase")
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, conv_channels=(8, 8, 8), gru_hidden=(8, 8)
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=8, max_epochs=2, plot_every=0
+        ),
+    )
+    mel = rng.standard_normal((3000, 40)).astype(np.float32)
+    lab = np.zeros((3000, 6), np.float32)
+    for cls in range(6):
+        t = 50 + cls * 17
+        while t < 3000 - 60:
+            lab[t : t + 20, cls] = 1.0
+            mel[t : t + 20, cls * 6 : cls * 6 + 6] += 3.0
+            t += 300 + cls * 31
+    fold = {"train_x": mel, "train_y": lab,
+            "val_x": mel[:1500], "val_y": lab[:1500]}
+
+    seeds = [2, 13]
+    multi = multiseed.run_fold_multiseed(
+        cfg, fold, 1, str(tmp_path / "m"), seeds, verbose=False
+    )
+    for s, res_m in zip(seeds, multi):
+        res_i = train_loop.run_fold(
+            cfg, fold, 1, str(tmp_path / f"i{s}"), seed=s, verbose=False
+        )
+        assert res_m.epochs_run == res_i.epochs_run == 2
+        np.testing.assert_allclose(
+            res_m.history["loss_val"], res_i.history["loss_val"], rtol=5e-3
+        )
+        np.testing.assert_allclose(
+            res_m.history["er_1s_val"], res_i.history["er_1s_val"], atol=0.15
+        )
+
+
 def test_multiseed_rejects_bad_seed_counts(tmp_path, rng):
     from sed_crnn_tpu.parallel.mesh import make_mesh
 
