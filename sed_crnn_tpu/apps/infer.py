@@ -26,7 +26,7 @@ from sed_crnn_tpu.ops import frontend
 
 def infer_file(
     wav_path: str,
-    checkpoint: str,
+    checkpoint,
     preset: str = "timepooled-v2",
     norm_stats=None,
     threshold: float = 0.5,
@@ -37,7 +37,13 @@ def infer_file(
     """``log_floor`` clamps mel energies before the log: real recordings can
     contain exact digital silence, whose parity-mode log(0) = -inf features
     NaN every downstream probability. Serving defaults to a tiny floor;
-    pass 0/None for the reference's strict no-epsilon semantics."""
+    pass 0/None for the reference's strict no-epsilon semantics.
+
+    ``checkpoint``: one path, or a list of paths — several checkpoints
+    (e.g. the per-seed bests of `sedtpu-train --runs N`) stream as a
+    probability ensemble: each member streams with its own carried state and
+    the sigmoid probabilities are averaged (identical semantics to an
+    exported ensemble artifact's streaming programs)."""
     import dataclasses
 
     cfg = get_preset(preset)
@@ -46,8 +52,11 @@ def infer_file(
             frontend=dataclasses.replace(cfg.frontend, log_floor=float(log_floor))
         )
     model = get_model(cfg.model)
-    tree, meta = ckpt_io.load_checkpoint(checkpoint)
-    params, state = tree["params"], tree["model_state"]
+    paths = [checkpoint] if isinstance(checkpoint, str) else list(checkpoint)
+    loaded = [ckpt_io.load_checkpoint(c) for c in paths]
+    meta = loaded[0][1] if len(loaded) == 1 else {
+        "members": [m for _, m in loaded]
+    }
 
     pcm = decode_audio(wav_path, sr=cfg.frontend.sample_rate, mono=True)
     mel = frontend.extract(pcm, cfg.frontend)
@@ -55,8 +64,15 @@ def infer_file(
         mean, scale = norm_stats
         mel = (mel - mean) / scale
 
-    probs = stream_probabilities(
-        model, params, state, mel, carry_backward, lookahead=lookahead
+    probs = np.mean(
+        [
+            stream_probabilities(
+                model, tree["params"], tree["model_state"], mel,
+                carry_backward, lookahead=lookahead,
+            )
+            for tree, _ in loaded
+        ],
+        axis=0,
     )
     pool = cfg.model.seq_len_in // cfg.model.seq_len_out
     out_hop = cfg.frontend.hop_length * pool  # samples per output frame
@@ -148,7 +164,9 @@ def infer_file_artifact(
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wav", required=True)
-    p.add_argument("--checkpoint", help="npz checkpoint (with --preset)")
+    p.add_argument("--checkpoint", nargs="+",
+                   help="npz checkpoint (with --preset); several paths "
+                        "stream as a probability ensemble")
     p.add_argument(
         "--artifact",
         help="AOT serving artifact (.sedart) from sedtpu-export; replaces "
@@ -194,6 +212,9 @@ def main(argv=None):
     payload = {
         "wav": args.wav,
         "checkpoint_epoch": meta.get("epoch"),
+        "ensemble_members": len(meta["members"]) if "members" in meta else (
+            meta.get("ensemble_members") or None
+        ),
         "n_output_frames": int(probs.shape[0]),
         "events": [
             {"start_s": round(s, 3), "end_s": round(e, 3), "class": c}

@@ -266,6 +266,42 @@ def test_train_app_synthetic(tmp_path):
     assert (runs[-1] / "experiment.jsonl").exists()
 
 
+def test_infer_ensemble_averages_member_streams(tmp_path):
+    """infer_file with several checkpoints streams each member with its own
+    carried state and averages the probabilities — exactly the mean of the
+    single-checkpoint runs."""
+    import jax
+
+    from sed_crnn_tpu.apps.infer import infer_file
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+    from sed_crnn_tpu.core.config import get_preset
+    from sed_crnn_tpu.data.wavio import write_wav
+    from sed_crnn_tpu.models import get_model
+
+    t = np.arange(44100 * 3) / 44100.0
+    y = (0.3 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+    wav = tmp_path / "tone.wav"
+    write_wav(str(wav), y, 44100)
+
+    cfg = get_preset("timepooled-v2")
+    model = get_model(cfg.model)
+    paths = []
+    for i in range(2):
+        params, state = model.init(jax.random.PRNGKey(i))
+        p = tmp_path / f"ck{i}.npz"
+        ckpt_io.save_checkpoint(
+            str(p), {"params": params, "model_state": state}, {"epoch": i}
+        )
+        paths.append(str(p))
+
+    ens, _, meta = infer_file(str(wav), paths, "timepooled-v2")
+    assert len(meta["members"]) == 2
+    a, _, _ = infer_file(str(wav), paths[0], "timepooled-v2")
+    b, _, _ = infer_file(str(wav), paths[1], "timepooled-v2")
+    np.testing.assert_allclose(ens, (a + b) / 2, rtol=0, atol=1e-6)
+    assert not np.allclose(a, b)
+
+
 def test_infer_digital_silence_finite_with_floor(tmp_path):
     """Recordings with exact digital silence produce log(0) = -inf parity
     features; the serving CLI's default log floor must keep probabilities
