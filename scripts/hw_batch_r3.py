@@ -200,6 +200,11 @@ def main(argv=None):
     p.add_argument("--work-dir", default="/tmp/serving_demo")
     p.add_argument("--skip-binaural", action="store_true")
     p.add_argument("--binaural-epochs", type=int, default=50)
+    p.add_argument("--protocol-runs", type=int, default=2,
+                   help="extra stage: the 4-fold x N-runs protocol "
+                        "(stacked multi-seed training) + member/ensemble "
+                        "eval on fold 1 (0 = skip)")
+    p.add_argument("--protocol-epochs", type=int, default=25)
     args = p.parse_args(argv)
 
     import jax
@@ -229,6 +234,16 @@ def main(argv=None):
             ["--max-epochs", str(args.binaural_epochs)]
         )
         print(json.dumps({"stage": "flagship_binaural_rc", "rc": rc_bin}))
+
+    if args.protocol_runs:
+        import flagship_binaural
+
+        rc_proto = flagship_binaural.main([
+            "--max-epochs", str(args.protocol_epochs),
+            "--runs", str(args.protocol_runs),
+            "--art-dir", "/tmp/flagship_protocol",
+        ])
+        print(json.dumps({"stage": "flagship_protocol_rc", "rc": rc_proto}))
 
     print(json.dumps({"stage": "batch_done"}))
     return 0
