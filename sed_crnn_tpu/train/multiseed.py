@@ -192,16 +192,34 @@ def run_fold_multiseed(
     mesh=None,
     verbose: bool = True,
     plan: Optional[CompilePlan] = None,
+    lr_scales: Optional[Sequence[float]] = None,
 ) -> List[FoldResult]:
     """Train ``len(seeds)`` independent runs of one fold concurrently; returns
     one `FoldResult` per seed, ordered like ``seeds`` (the reference's
-    "mean of 5 runs" repetitions, `README.md:62-64`, in one program)."""
+    "mean of 5 runs" repetitions, `README.md:62-64`, in one program).
+
+    ``lr_scales`` (optional, one per lane) multiplies each lane's base
+    learning rate — the stacked axis then doubles as a LEARNING-RATE SWEEP:
+    N candidate rates train concurrently in the same program (lr_scale is a
+    traced array, so the sweep costs zero extra compiles). Combine with
+    repeated seeds deliberately (pass distinct seeds for run-repetition
+    semantics, or the same data seed with different rates by varying seeds
+    trivially). Under a plateau schedule each lane's schedule starts from
+    its own base scale and decays independently."""
     seeds = list(seeds)
     n = len(seeds)
     if n < 1:
         raise ValueError("need at least one seed")
-    if len(set(seeds)) != n:
+    if lr_scales is not None and len(lr_scales) != n:
+        raise ValueError(
+            f"{len(lr_scales)} lr_scales for {n} seeds — need one per lane"
+        )
+    if len(set(seeds)) != n and lr_scales is None:
         raise ValueError(f"duplicate seeds in {seeds} — runs would be identical")
+    if len(set(zip(seeds, lr_scales or [0.0] * n))) != n:
+        raise ValueError(
+            "duplicate (seed, lr_scale) lanes — runs would be identical"
+        )
     tcfg = cfg.train
     model = get_model(cfg.model)
     train_sampler, val_sampler = make_samplers(cfg, fold_data, plan)
@@ -215,11 +233,18 @@ def run_fold_multiseed(
     ks = split2(base_keys)
     keys, init_keys = ks[:, 0], ks[:, 1]
     state = trainer.init_states(init_keys)
+    base_scale = (
+        jnp.ones((n,), jnp.float32)
+        if lr_scales is None
+        else jnp.asarray(lr_scales, jnp.float32)
+    )
+    if lr_scales is not None:
+        state = state._replace(lr_scale=base_scale)
     plateau_state = (
         PlateauState(
             best=jnp.full((n,), jnp.inf, jnp.float32),
             num_bad=jnp.zeros((n,), jnp.int32),
-            lr_scale=jnp.ones((n,), jnp.float32),
+            lr_scale=base_scale,
         )
         if trainer.plateau
         else None
@@ -238,7 +263,14 @@ def run_fold_multiseed(
     n_val_max = plan.n_val_steps_max if plan else None
     n_sweep_max = plan.n_sweep_steps_max if plan else None
 
-    seed_dirs = [os.path.join(art_dir, f"seed{s}") for s in seeds]
+    if lr_scales is None:
+        seed_dirs = [os.path.join(art_dir, f"seed{s}") for s in seeds]
+    else:
+        # LR-sweep lanes may repeat a seed; the scale disambiguates the dir.
+        seed_dirs = [
+            os.path.join(art_dir, f"seed{s}_lr{lr:g}")
+            for s, lr in zip(seeds, lr_scales)
+        ]
     for d in seed_dirs:
         os.makedirs(d, exist_ok=True)
 
@@ -299,6 +331,11 @@ def run_fold_multiseed(
                 "epoch": epoch,
                 "fold": fold_id,
                 "seed": s,
+                **(
+                    {"base_lr_scale": float(lr_scales[i])}
+                    if lr_scales is not None
+                    else {}
+                ),
                 "best_er": float(best_er[i]),
                 "best_f1": float(best_f1[i]),
                 "best_epoch": int(best_epoch[i]),

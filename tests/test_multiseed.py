@@ -200,6 +200,38 @@ def test_multiseed_rejects_bad_seed_counts(tmp_path, rng):
         )
 
 
+def test_multiseed_lr_sweep(tmp_path, rng):
+    """The stacked axis doubles as a learning-rate sweep: same data seed,
+    per-lane lr_scale, distinct artifact dirs, zero extra compiles."""
+    cfg = _cfg(max_epochs=2)
+    fold = _synthetic_fold(rng, 2500)
+    res = multiseed.run_fold_multiseed(
+        cfg, fold, 1, str(tmp_path), [7, 7], lr_scales=[1.0, 0.25],
+        verbose=False,
+    )
+    assert res[0].history["loss_tr"] != res[1].history["loss_tr"]
+    for lr in ("1", "0.25"):
+        d = tmp_path / f"seed7_lr{lr}"
+        assert (d / "best_fold1.npz").exists()
+    from sed_crnn_tpu.core import checkpoint as ckpt_io
+
+    _, meta = ckpt_io.load_checkpoint(
+        str(tmp_path / "seed7_lr0.25" / "last_fold1.npz")
+    )
+    assert meta["base_lr_scale"] == 0.25
+
+    with pytest.raises(ValueError, match="duplicate"):
+        multiseed.run_fold_multiseed(
+            cfg, fold, 1, str(tmp_path / "x"), [7, 7],
+            lr_scales=[0.5, 0.5], verbose=False,
+        )
+    with pytest.raises(ValueError, match="one per lane"):
+        multiseed.run_fold_multiseed(
+            cfg, fold, 1, str(tmp_path / "y"), [7, 8],
+            lr_scales=[0.5], verbose=False,
+        )
+
+
 def test_experiment_multiseed_protocol(tmp_path, rng):
     """The N-run experiment: mean/std over per-seed cross-fold averages,
     seeds spaced to keep every (seed, fold) RNG key distinct."""
