@@ -286,6 +286,7 @@ def run_fold_multiseed(
     audio_sec = n_train_steps * tcfg.batch_size * cfg.model.seq_len_in / frames_per_sec
     t_start = time.time()
 
+    epoch = 0  # stays 0 if max_epochs < 1 (epochs_run then reports 0)
     for epoch in range(1, tcfg.max_epochs + 1):
         t_ep = time.time()
         ks = split3(keys)
