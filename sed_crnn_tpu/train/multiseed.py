@@ -183,6 +183,24 @@ def _slice_seed(host_tree, i: int):
     return jax.tree.map(lambda a: a[i], host_tree)
 
 
+def shard_lanes(tree, mesh):
+    """Lane-stacked host tree -> global `jax.Array`s sharded over the mesh's
+    first axis. The multi-host entry point: every process passes the SAME
+    host-replicated (numpy) value and contributes its addressable shards —
+    required because jit rejects numpy inputs with non-trivial multi-host
+    shardings. Single-host callers don't need this (jit shards uncommitted
+    arrays itself)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
+    def one(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, shard, lambda idx: a[idx])
+
+    return jax.tree.map(one, tree)
+
+
 def run_fold_multiseed(
     cfg: ExperimentConfig,
     fold_data: Dict[str, np.ndarray],

@@ -110,9 +110,28 @@ trainer = DataParallelTrainer(model, tcfg, ts, vs, mesh)
 state = trainer.init_state(jax.random.PRNGKey(0))
 state, scores = trainer.train_epoch(state, jax.random.PRNGKey(1), 2)
 val = trainer.eval_epoch(state, jax.random.PRNGKey(2), 1)
+
+# Seed-axis sharding across the SAME 2-process deployment: 8 stacked runs,
+# one per global device (4 local to each host). Inputs are host-replicated
+# numpy trees (identical on both hosts), which jit shards to the global
+# mesh; the per-seed losses come back sharded, so assert on a replicated
+# reduction (mean over lanes).
+import jax.numpy as jnp  # noqa: E402
+
+from sed_crnn_tpu.train.multiseed import MultiSeedTrainer, shard_lanes  # noqa: E402
+
+seed_mesh = make_mesh(axis_name="seed")
+ms = MultiSeedTrainer(model, tcfg, ts, vs, 8, seed_mesh)
+ms_keys = np.stack([np.asarray(jax.random.PRNGKey(11 + i)) for i in range(8)])
+ms_state = jax.device_get(ms.init_states(jnp.asarray(ms_keys)))
+ms_state, ms_scores = ms.train_epoch(
+    shard_lanes(ms_state, seed_mesh), shard_lanes(ms_keys, seed_mesh), 2
+)
+ms_loss = float(jnp.mean(ms_scores["loss"]))
+
 print(
     f"RESULT pid={pid} train_loss={float(scores['loss']):.6f} "
     f"val_loss={float(val['loss']):.6f} er={float(val['er_overall_1sec']):.4f} "
-    f"guard={guard}",
+    f"guard={guard} ms_loss={ms_loss:.6f}",
     flush=True,
 )

@@ -53,11 +53,11 @@ def test_two_process_dp_epoch_runs_and_replicates():
     for out in outs:
         m = re.search(
             r"RESULT pid=(\d) train_loss=([\d.]+) val_loss=([\d.]+) er=([\d.]+) "
-            r"guard=(\S+)",
+            r"guard=(\S+) ms_loss=([\d.]+)",
             out,
         )
         assert m, f"no RESULT line in:\n{out}"
-        results[int(m.group(1))] = (m.group(2), m.group(3), m.group(4))
+        results[int(m.group(1))] = (m.group(2), m.group(3), m.group(4), m.group(6))
         guards[int(m.group(1))] = m.group(5)
 
     assert set(results) == {0, 1}
