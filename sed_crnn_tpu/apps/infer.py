@@ -24,12 +24,27 @@ from sed_crnn_tpu.models.streaming import stream_probabilities
 from sed_crnn_tpu.ops import frontend
 
 
+def _threshold_arg(threshold, n_classes: int):
+    """One global float, or exactly one threshold per class (the tuned
+    per-class operating points a `sedtpu-evaluate` report's
+    ``per_class_sweep.thresholds`` records)."""
+    if np.ndim(threshold) == 0:
+        return float(threshold)
+    arr = np.asarray(threshold, np.float32)
+    if arr.shape != (n_classes,):
+        raise ValueError(
+            f"{arr.size} thresholds for {n_classes} classes — pass one "
+            f"global threshold or exactly one per class"
+        )
+    return arr
+
+
 def infer_file(
     wav_path: str,
     checkpoint,
     preset: str = "timepooled-v2",
     norm_stats=None,
-    threshold: float = 0.5,
+    threshold=0.5,
     carry_backward: bool = False,
     lookahead: bool = False,
     log_floor: float = 1e-10,
@@ -51,6 +66,7 @@ def infer_file(
         cfg = cfg.replace(
             frontend=dataclasses.replace(cfg.frontend, log_floor=float(log_floor))
         )
+    threshold = _threshold_arg(threshold, cfg.model.n_classes)
     model = get_model(cfg.model)
     paths = [checkpoint] if isinstance(checkpoint, str) else list(checkpoint)
     loaded = [ckpt_io.load_checkpoint(c) for c in paths]
@@ -133,7 +149,7 @@ def stats_from_fold(
 def infer_file_artifact(
     wav_path: str,
     artifact_path: str,
-    threshold: float = 0.5,
+    threshold=0.5,
     log_floor: float = 1e-10,
     lookahead: bool = False,
 ):
@@ -147,6 +163,7 @@ def infer_file_artifact(
     from sed_crnn_tpu.models.export import ServingArtifact
 
     art = ServingArtifact.load(artifact_path)
+    threshold = _threshold_arg(threshold, int(art.meta["n_classes"]))
     fcfg = FrontendConfig(**art.meta["frontend"])
     if log_floor:
         fcfg = dataclasses.replace(fcfg, log_floor=float(log_floor))
@@ -173,7 +190,11 @@ def main(argv=None):
         "--checkpoint/--preset/--stats-from",
     )
     p.add_argument("--preset", default="timepooled-v2")
-    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument(
+        "--threshold", type=float, nargs="+", default=[0.5],
+        help="binarization threshold: one global value, or one per class "
+             "(the per_class_sweep.thresholds of a sedtpu-evaluate report)",
+    )
     p.add_argument("--stats-from", help="cache dir with per-video npz for norm stats")
     p.add_argument("--fold", type=int, default=1)
     p.add_argument("--carry-backward", action="store_true")
@@ -193,10 +214,14 @@ def main(argv=None):
 
     if bool(args.checkpoint) == bool(args.artifact):
         p.error("pass exactly one of --checkpoint or --artifact")
+    threshold = (
+        args.threshold[0] if len(args.threshold) == 1
+        else np.asarray(args.threshold, np.float32)
+    )
 
     if args.artifact:
         probs, events, meta = infer_file_artifact(
-            args.wav, args.artifact, args.threshold, args.log_floor,
+            args.wav, args.artifact, threshold, args.log_floor,
             args.lookahead,
         )
     else:
@@ -206,7 +231,7 @@ def main(argv=None):
             else None
         )
         probs, events, meta = infer_file(
-            args.wav, args.checkpoint, args.preset, stats, args.threshold,
+            args.wav, args.checkpoint, args.preset, stats, threshold,
             args.carry_backward, args.lookahead, args.log_floor,
         )
     payload = {

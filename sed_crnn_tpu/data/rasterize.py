@@ -34,11 +34,12 @@ def rasterize_events(
 
 
 def events_from_labels(
-    labels: np.ndarray, sr: int, hop: int, threshold: float = 0.5
+    labels: np.ndarray, sr: int, hop: int, threshold=0.5
 ):
     """Inverse of rasterization: contiguous active runs -> (start_s, end_s,
     class) tuples, for artifact/report generation. Thin wrapper over the
-    event decoder shared with the event-based metrics."""
+    event decoder shared with the event-based metrics. ``threshold``: one
+    float, or a per-class vector (n_classes,)."""
     from sed_crnn_tpu.ops.event_metrics import events_from_roll
 
     return events_from_roll(labels, hop / sr, threshold)

@@ -45,11 +45,14 @@ Event = Tuple[float, float, int]  # (onset_s, offset_s, class_id)
 
 
 def events_from_roll(
-    roll: np.ndarray, frame_hop_s: float, threshold: float = 0.5
+    roll: np.ndarray, frame_hop_s: float, threshold=0.5
 ) -> List[Event]:
-    """Binary/probability frame roll (frames, classes) -> event list."""
+    """Binary/probability frame roll (frames, classes) -> event list.
+    ``threshold``: one global float, or a per-class vector (n_classes,) —
+    e.g. the tuned operating points from
+    `ops/metrics.py::best_per_class_thresholds`."""
     events: List[Event] = []
-    active = np.asarray(roll) > threshold
+    active = np.asarray(roll) > np.asarray(threshold)
     for cls in range(active.shape[1]):
         col = active[:, cls].astype(np.int8)
         edges = np.flatnonzero(np.diff(np.concatenate([[0], col, [0]])))

@@ -199,6 +199,103 @@ def class_wise_report(pred: jnp.ndarray, y: jnp.ndarray, frames_in_1_sec: int):
 
 
 @partial(jax.jit, static_argnums=(3,))
+def threshold_sweep_per_class(
+    probs: jnp.ndarray,
+    targets: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    frames_in_1_sec: int,
+):
+    """Per-class segment scores at every threshold, as one vmapped device
+    program over the (threshold, class) grid.
+
+    Class c's segment F1/ER depend only on class c's probability column, so
+    the global sweep decomposes exactly per class. Returns three
+    ``(n_thresholds, n_classes)`` arrays: F1 (ceil-pooled blocks), ER
+    (floor-pooled; NaN/inf for classes absent from the reference — the
+    parity-preserved unguarded ``Nref``), and the floor-pooled
+    false-positive block count (the tie-break objective for absent classes).
+    """
+    p = _as_2d(probs)
+    t = _as_2d(targets)
+    t_ceil = _block_max(t, frames_in_1_sec, "ceil")
+    t_floor = _block_max(t, frames_in_1_sec, "floor")
+
+    def one(th):
+        o = (p > th).astype(jnp.float32)
+        o_ceil = _block_max(o, frames_in_1_sec, "ceil")
+        o_floor = _block_max(o, frames_in_1_sec, "floor")
+        f1 = jax.vmap(
+            lambda oc, tc: f1_framewise(oc[:, None], tc[:, None]), in_axes=1
+        )(o_ceil, t_ceil)
+        er = jax.vmap(
+            lambda oc, tc: er_framewise(oc[:, None], tc[:, None]), in_axes=1
+        )(o_floor, t_floor)
+        fp = jnp.sum((o_floor == 1.0) & (t_floor == 0.0), axis=0).astype(
+            jnp.float32
+        )
+        return f1, er, fp
+
+    return jax.vmap(one)(thresholds)
+
+
+def best_per_class_thresholds(
+    probs,
+    targets,
+    thresholds,
+    frames_in_1_sec: int,
+    objective: str = "er",
+):
+    """Per-class operating points: choose each class's binarization threshold
+    independently (min per-class segment ER, or max F1 with
+    ``objective="f1"``), then score the OVERALL segment metrics with the
+    per-class threshold vector applied — the standard DCASE refinement over
+    one global threshold (`best_threshold`).
+
+    Two caveats, by construction: (1) independent per-class choices are a
+    heuristic for the overall ER — its substitution term couples classes
+    within a segment, so the vector is not guaranteed jointly optimal (it
+    can only beat or match the global sweep's *per-class decomposable*
+    part); (2) classes absent from the reference have no per-class ER/F1
+    signal (unguarded 0/0), so their threshold is chosen to minimize
+    floor-pooled false-positive blocks instead — the only term through
+    which an absent class can hurt the overall ER.
+
+    Returns ``thresholds`` (n_classes,), overall ``er``/``f1`` at that
+    vector, per-class scores at the chosen points, and the full per-class
+    sweep tables.
+    """
+    if objective not in ("er", "f1"):
+        raise ValueError(f"objective must be 'er' or 'f1', got {objective!r}")
+    thresholds = jnp.asarray(thresholds, jnp.float32)
+    f1s, ers, fps = threshold_sweep_per_class(
+        probs, targets, thresholds, frames_in_1_sec
+    )
+    t = _as_2d(targets)
+    present = _block_max(t, frames_in_1_sec, "floor").sum(axis=0) > 0
+    if objective == "er":
+        key = jnp.where(jnp.isfinite(ers), ers, jnp.inf)
+    else:
+        key = -f1s
+    idx = jnp.argmin(jnp.where(present[None, :], key, fps), axis=0)
+    th_vec = jnp.take(thresholds, idx)
+    o = (_as_2d(probs) > th_vec[None, :]).astype(jnp.float32)
+
+    def take(a):
+        return jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+
+    return {
+        "thresholds": th_vec,
+        "er": er_segment(o, t, frames_in_1_sec),
+        "f1": f1_segment(o, t, frames_in_1_sec),
+        "class_f1": take(f1s),
+        "class_er": take(ers),
+        "class_present": present,
+        "all_f1": f1s,
+        "all_er": ers,
+    }
+
+
+@partial(jax.jit, static_argnums=(3,))
 def threshold_sweep(
     probs: jnp.ndarray,
     targets: jnp.ndarray,

@@ -192,7 +192,31 @@ def evaluate_split(
         (flat_p > t.threshold).astype(jnp.float32), flat_y, t.frames_in_1_sec
     )
 
+    # Multi-class splits additionally report the per-class operating point
+    # (each class's threshold tuned independently on this split — the
+    # standard DCASE refinement; see `ops/metrics.py::best_per_class_thresholds`).
+    per_class_sweep = None
+    if flat_y.shape[-1] > 1:
+        pc = metrics_ops.best_per_class_thresholds(
+            flat_p, flat_y, thresholds, t.frames_in_1_sec
+        )
+        present = np.asarray(pc["class_present"])
+        per_class_sweep = {
+            "thresholds": [float(v) for v in np.asarray(pc["thresholds"])],
+            "er_1s": float(pc["er"]),
+            "f1_1s": float(pc["f1"]),
+            "class_er_1s": [
+                float(v) if p else None
+                for v, p in zip(np.asarray(pc["class_er"]), present)
+            ],
+            "class_f1_1s": [
+                float(v) if p else None
+                for v, p in zip(np.asarray(pc["class_f1"]), present)
+            ],
+        }
+
     return {
+        **({"per_class_sweep": per_class_sweep} if per_class_sweep else {}),
         "er_event": ev["er_event"],
         "f1_event": ev["f1_event"],
         "class_wise": class_wise,

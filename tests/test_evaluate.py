@@ -68,6 +68,35 @@ def test_evaluate_split_matches_oracle(rng):
     assert report["sweep"]["er_1s"][i] == pytest.approx(report["best_er_1s"], abs=1e-6)
 
 
+def test_evaluate_split_multiclass_reports_per_class_sweep(rng):
+    """Multi-class splits carry the per-class operating point; single-class
+    reports omit it (the vector would just repeat the global sweep)."""
+    cfg = get_preset("sednet-dcase")
+    model = get_model(cfg.model)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = rng.standard_normal((1100, 40)).astype(np.float32)
+    y = (rng.random((1100, 6)) < 0.08).astype(np.float32)
+
+    ths = np.asarray([0.3, 0.5, 0.7], np.float32)
+    report = eval_mod.evaluate_split(
+        model, params, state, x, y, cfg, thresholds=ths, batch_size=2
+    )
+    pc = report["per_class_sweep"]
+    assert len(pc["thresholds"]) == 6
+    assert all(min(abs(tv - t) for t in ths) < 1e-6 for tv in pc["thresholds"])
+    assert np.isfinite(pc["er_1s"]) and np.isfinite(pc["f1_1s"])
+    assert len(pc["class_er_1s"]) == len(pc["class_f1_1s"]) == 6
+
+    cfg1 = get_preset("timepooled-v2")
+    model1 = get_model(cfg1.model)
+    p1, s1 = model1.init(jax.random.PRNGKey(0))
+    x1, y1 = _split(rng)
+    rep1 = eval_mod.evaluate_split(
+        model1, p1, s1, x1, y1, cfg1, thresholds=ths, batch_size=16
+    )
+    assert "per_class_sweep" not in rep1
+
+
 def test_evaluate_rejects_short_split(rng):
     cfg = get_preset("timepooled-v2")
     model = get_model(cfg.model)

@@ -80,6 +80,20 @@ def test_events_from_roll_and_end_to_end():
     assert s["tp"] == 2 and s["er_event"] == 0.0
 
 
+def test_events_from_roll_per_class_thresholds():
+    """A per-class threshold vector binarizes each class at its own operating
+    point (the deploy side of `ops/metrics.py::best_per_class_thresholds`)."""
+    hop = 1024 / 44100
+    roll = np.zeros((100, 2), np.float32)
+    roll[10:20, 0] = 0.4   # above class 0's threshold, below class 1's
+    roll[50:60, 1] = 0.4   # below class 1's threshold -> no event
+    roll[70:80, 1] = 0.9
+    ev = events_from_roll(roll, hop, threshold=np.asarray([0.3, 0.7]))
+    assert [(e[2], round(e[0] / hop)) for e in ev] == [(0, 10), (1, 70)]
+    # the same roll at one global 0.3 threshold decodes the 0.4 run of class 1
+    assert len(events_from_roll(roll, hop, threshold=0.3)) == 3
+
+
 # ---------------------------------------------------------------------------
 # sed_eval-semantics validation: brute-force optimal-matching oracle + goldens
 # ---------------------------------------------------------------------------

@@ -266,6 +266,19 @@ def test_train_app_synthetic(tmp_path):
     assert (runs[-1] / "experiment.jsonl").exists()
 
 
+def test_infer_threshold_arg_validation():
+    """One global float passes through; a per-class vector must match the
+    class count exactly (mismatches get a descriptive error, not a cryptic
+    broadcast failure deep in the decode)."""
+    from sed_crnn_tpu.apps.infer import _threshold_arg
+
+    assert _threshold_arg(0.4, 6) == 0.4
+    v = _threshold_arg([0.2, 0.3, 0.4, 0.5, 0.6, 0.7], 6)
+    assert v.shape == (6,) and v.dtype == np.float32
+    with pytest.raises(ValueError, match="thresholds for 6 classes"):
+        _threshold_arg([0.2, 0.3], 6)
+
+
 def test_infer_ensemble_averages_member_streams(tmp_path):
     """infer_file with several checkpoints streams each member with its own
     carried state and averages the probabilities — exactly the mean of the

@@ -136,6 +136,93 @@ def test_threshold_sweep_matches_pointwise(rng):
     assert float(best["er"]) == pytest.approx(float(np.min(ers)))
 
 
+def test_per_class_sweep_matches_oracle_grid(rng):
+    """Every (threshold, class) cell of the per-class sweep tables equals the
+    single-column oracle run at that point; the FP table counts floor-pooled
+    false-positive blocks."""
+    p = rng.random((300, 4)).astype(np.float32)
+    t = _rand_bin(rng, (300, 4), 0.25)
+    ths = np.linspace(0.2, 0.8, 7).astype(np.float32)
+    f1s, ers, fps = metrics.threshold_sweep_per_class(
+        jnp.asarray(p), jnp.asarray(t), jnp.asarray(ths), 7
+    )
+    assert f1s.shape == ers.shape == fps.shape == (7, 4)
+    n_blocks = 300 // 7
+    for i, th in enumerate(ths):
+        o = (p > th).astype(np.float32)
+        for c in range(4):
+            np.testing.assert_allclose(
+                float(f1s[i, c]),
+                ref_f1_1sec(o[:, c : c + 1], t[:, c : c + 1], 7),
+                atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                float(ers[i, c]),
+                ref_er_1sec(o[:, c : c + 1], t[:, c : c + 1], 7),
+                atol=1e-6,
+            )
+            of = o[: n_blocks * 7, c].reshape(n_blocks, 7).max(axis=1)
+            tf = t[: n_blocks * 7, c].reshape(n_blocks, 7).max(axis=1)
+            assert float(fps[i, c]) == float(np.sum((of == 1) & (tf == 0)))
+
+
+def test_best_per_class_thresholds_single_class_equals_global(rng):
+    """With one class, the per-class operating point IS the global sweep's."""
+    p = rng.random((400, 1)).astype(np.float32)
+    t = _rand_bin(rng, (400, 1), 0.2)
+    ths = np.linspace(0.1, 0.9, 9).astype(np.float32)
+    pc = metrics.best_per_class_thresholds(jnp.asarray(p), jnp.asarray(t), ths, 5)
+    best = metrics.best_threshold(jnp.asarray(p), jnp.asarray(t), ths, 5)
+    assert float(pc["thresholds"][0]) == pytest.approx(float(best["threshold"]))
+    assert float(pc["er"]) == pytest.approx(float(best["er"]))
+    assert float(pc["f1"]) == pytest.approx(float(best["f1"]))
+
+
+def test_best_per_class_thresholds_beats_global_on_skewed_classes(rng):
+    """Two classes calibrated at different scales: no single threshold serves
+    both, so the per-class vector must strictly beat the global best ER."""
+    n = 700
+    t = _rand_bin(rng, (n, 2), 0.3)
+    p = np.empty((n, 2), np.float32)
+    # class 0 separates at ~0.25; class 1 separates at ~0.8
+    p[:, 0] = np.where(t[:, 0] > 0, 0.4, 0.1)
+    p[:, 1] = np.where(t[:, 1] > 0, 0.95, 0.65)
+    p += rng.random((n, 2)).astype(np.float32) * 0.02
+    ths = np.asarray([0.25, 0.5, 0.8], np.float32)
+    pc = metrics.best_per_class_thresholds(jnp.asarray(p), jnp.asarray(t), ths, 5)
+    best = metrics.best_threshold(jnp.asarray(p), jnp.asarray(t), jnp.asarray(ths), 5)
+    assert float(pc["thresholds"][0]) == pytest.approx(0.25)
+    assert float(pc["thresholds"][1]) == pytest.approx(0.8)
+    assert float(pc["er"]) == pytest.approx(0.0, abs=1e-6)
+    assert float(best["er"]) > float(pc["er"])  # global cannot serve both
+    # the chosen per-class scores are the sweep-table cells at those points
+    np.testing.assert_allclose(np.asarray(pc["class_er"]), [0.0, 0.0], atol=1e-6)
+
+
+def test_best_per_class_thresholds_absent_class_minimizes_fp(rng):
+    """A class with no reference positives has no per-class ER signal (0/0 by
+    parity design); its threshold must fall back to minimizing false-positive
+    blocks — the only way it can hurt the overall ER."""
+    n = 350
+    t = _rand_bin(rng, (n, 2), 0.3)
+    t[:, 1] = 0.0  # class 1 absent
+    p = np.empty((n, 2), np.float32)
+    p[:, 0] = np.where(t[:, 0] > 0, 0.9, 0.1)
+    p[:, 1] = rng.random(n).astype(np.float32)  # FPs shrink as th rises
+    ths = np.asarray([0.2, 0.5, 0.9], np.float32)
+    for objective in ("er", "f1"):
+        pc = metrics.best_per_class_thresholds(
+            jnp.asarray(p), jnp.asarray(t), ths, 5, objective=objective
+        )
+        assert float(pc["thresholds"][1]) == pytest.approx(0.9)
+        assert bool(pc["class_present"][0]) and not bool(pc["class_present"][1])
+        assert np.isfinite(float(pc["er"])) and np.isfinite(float(pc["f1"]))
+    with pytest.raises(ValueError):
+        metrics.best_per_class_thresholds(
+            jnp.asarray(p), jnp.asarray(t), ths, 5, objective="accuracy"
+        )
+
+
 # ---------------- losses ----------------
 
 
