@@ -53,7 +53,20 @@ def main(argv=None):
         "tf: TensorFlow SavedModel directory (windowed forward only, for "
         "TF Serving)",
     )
+    p.add_argument(
+        "--threshold", type=float, nargs="+", default=None,
+        help="bake a default binarization threshold into the artifact: one "
+             "global value, or one per class (a sedtpu-evaluate report's "
+             "per_class_sweep.thresholds) — sedtpu-infer --artifact then "
+             "uses it automatically (sedart format only; TF Serving "
+             "consumers apply their own decode)",
+    )
     args = p.parse_args(argv)
+    default_threshold = None
+    if args.threshold is not None:
+        default_threshold = (
+            args.threshold[0] if len(args.threshold) == 1 else args.threshold
+        )
 
     from sed_crnn_tpu.core import checkpoint as ckpt_io
     from sed_crnn_tpu.core.config import get_preset
@@ -87,6 +100,9 @@ def main(argv=None):
             )
 
     if args.format == "tf":
+        if default_threshold is not None:
+            p.error("--threshold applies to the sedart format only — TF "
+                    "Serving consumers apply their own event decode")
         export_tf_savedmodel(
             cfg, params, state, args.out, norm_stats=norm_stats,
             compute_dtype=args.compute_dtype, ensemble_members=n_members,
@@ -113,6 +129,7 @@ def main(argv=None):
         preset=args.preset,
         compute_dtype=args.compute_dtype,
         ensemble_members=n_members,
+        default_threshold=default_threshold,
     )
     artifact.save(args.out)
     print(
@@ -123,6 +140,7 @@ def main(argv=None):
                 "bytes": os.path.getsize(args.out),
                 "platforms": artifact.meta["platforms"],
                 "norm_folded": artifact.meta["norm_folded"],
+                "default_threshold": artifact.meta["default_threshold"],
                 "ensemble_members": n_members,
                 "checkpoint_meta": meta,
             }

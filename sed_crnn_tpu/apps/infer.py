@@ -149,20 +149,28 @@ def stats_from_fold(
 def infer_file_artifact(
     wav_path: str,
     artifact_path: str,
-    threshold=0.5,
+    threshold=None,
     log_floor: float = 1e-10,
     lookahead: bool = False,
 ):
     """Serve from an AOT artifact (`apps/export.py`): the artifact's meta
     carries the frontend parameters and its programs carry the weights and
     (when exported with ``--stats-from``) the fold's normalization — the
-    wav file and the artifact are the only inputs."""
+    wav file and the artifact are the only inputs.
+
+    ``threshold=None`` uses the artifact's recorded ``default_threshold``
+    (the tuned operating points `sedtpu-export --threshold` bakes in),
+    falling back to 0.5 when the artifact records none."""
     import dataclasses
 
     from sed_crnn_tpu.core.config import FrontendConfig
     from sed_crnn_tpu.models.export import ServingArtifact
 
     art = ServingArtifact.load(artifact_path)
+    if threshold is None:
+        threshold = art.meta.get("default_threshold")
+        if threshold is None:
+            threshold = 0.5
     threshold = _threshold_arg(threshold, int(art.meta["n_classes"]))
     fcfg = FrontendConfig(**art.meta["frontend"])
     if log_floor:
@@ -191,9 +199,11 @@ def main(argv=None):
     )
     p.add_argument("--preset", default="timepooled-v2")
     p.add_argument(
-        "--threshold", type=float, nargs="+", default=[0.5],
+        "--threshold", type=float, nargs="+", default=None,
         help="binarization threshold: one global value, or one per class "
-             "(the per_class_sweep.thresholds of a sedtpu-evaluate report)",
+             "(the per_class_sweep.thresholds of a sedtpu-evaluate report). "
+             "Default: the artifact's baked-in default_threshold when "
+             "serving with --artifact, else 0.5",
     )
     p.add_argument("--stats-from", help="cache dir with per-video npz for norm stats")
     p.add_argument("--fold", type=int, default=1)
@@ -214,10 +224,12 @@ def main(argv=None):
 
     if bool(args.checkpoint) == bool(args.artifact):
         p.error("pass exactly one of --checkpoint or --artifact")
-    threshold = (
-        args.threshold[0] if len(args.threshold) == 1
-        else np.asarray(args.threshold, np.float32)
-    )
+    threshold = None
+    if args.threshold is not None:
+        threshold = (
+            args.threshold[0] if len(args.threshold) == 1
+            else np.asarray(args.threshold, np.float32)
+        )
 
     if args.artifact:
         probs, events, meta = infer_file_artifact(
@@ -231,7 +243,8 @@ def main(argv=None):
             else None
         )
         probs, events, meta = infer_file(
-            args.wav, args.checkpoint, args.preset, stats, threshold,
+            args.wav, args.checkpoint, args.preset, stats,
+            0.5 if threshold is None else threshold,
             args.carry_backward, args.lookahead, args.log_floor,
         )
     payload = {

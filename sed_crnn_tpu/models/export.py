@@ -291,6 +291,7 @@ def export_serving(
     preset: Optional[str] = None,
     compute_dtype: Optional[str] = None,
     ensemble_members: int = 0,
+    default_threshold=None,
 ) -> ServingArtifact:
     """Export the inference surface of a trained model.
 
@@ -302,6 +303,12 @@ def export_serving(
     ``ensemble_members`` > 0: params/state are N stacked checkpoints
     (`train/evaluate.py::stack_trees`); the artifact serves their
     probability ensemble as ONE set of programs (see `_build_inference`).
+
+    ``default_threshold``: one float, or one value per class (the tuned
+    operating points from a `sedtpu-evaluate` report's
+    ``per_class_sweep.thresholds``) — recorded in the artifact metadata and
+    used by `apps/infer.py --artifact` whenever the caller passes no
+    threshold, so tuned operating points ship WITH the model.
     """
     mcfg, forward, stream_init, stream_step, stream_step_la, carry0 = (
         _build_inference(
@@ -310,6 +317,19 @@ def export_serving(
     )
     t_in = mcfg.seq_len_in
     feat = mcfg.n_mels * mcfg.in_channels
+
+    thr_meta = None
+    if default_threshold is not None:
+        if np.ndim(default_threshold) == 0:
+            thr_meta = float(default_threshold)
+        else:
+            arr = np.asarray(default_threshold, np.float64)
+            if arr.shape != (mcfg.n_classes,):
+                raise ValueError(
+                    f"{arr.size} default thresholds for {mcfg.n_classes} "
+                    f"classes — pass one value or exactly one per class"
+                )
+            thr_meta = [float(v) for v in arr]
 
     b = jax.export.symbolic_shape("b")[0]
     f32 = jnp.float32
@@ -367,6 +387,7 @@ def export_serving(
         "hop_length": cfg.frontend.hop_length,
         "norm_folded": norm_stats is not None,
         "ensemble_members": ensemble_members,
+        "default_threshold": thr_meta,
         # Full frontend parameters so a serving host can run feature
         # extraction with zero configuration (`apps/infer.py --artifact`).
         "frontend": dataclasses.asdict(cfg.frontend),

@@ -365,6 +365,47 @@ def test_infer_cli_with_artifact(rng, tmp_path):
         )
 
 
+def test_default_threshold_baked_and_used(rng, tmp_path):
+    """`export_serving(default_threshold=...)` records the tuned operating
+    point in the artifact metadata; artifact inference with no explicit
+    threshold then decodes at it (tuned points ship WITH the model)."""
+    cfg = _tiny_cfg()
+    model, params, state = _init(cfg)
+
+    with pytest.raises(ValueError, match="default thresholds"):
+        export_serving(
+            cfg, params, state, platforms=("cpu",),
+            default_threshold=[0.3, 0.7],  # 2 values, 1 class
+        )
+
+    art = export_serving(
+        cfg, params, state, platforms=("cpu",), default_threshold=0.999
+    )
+    path = str(tmp_path / "m.sedart")
+    art.save(path)
+    loaded = ServingArtifact.load(path)
+    assert loaded.meta["default_threshold"] == 0.999
+
+    vec = export_serving(
+        cfg, params, state, platforms=("cpu",), default_threshold=[0.4]
+    )
+    assert vec.meta["default_threshold"] == [0.4]
+
+    from sed_crnn_tpu.apps.infer import infer_file_artifact
+    from sed_crnn_tpu.data.wavio import write_wav
+
+    sr = cfg.frontend.sample_rate
+    t = np.arange(sr * 2) / sr
+    wav = str(tmp_path / "x.wav")
+    write_wav(wav, (0.2 * np.sin(2 * np.pi * 660 * t)).astype(np.float32), sr)
+    # baked 0.999: an untrained model's ~0.5 sigmoids decode to no events;
+    # an explicit low threshold overrides the baked default and finds runs.
+    _, ev_default, _ = infer_file_artifact(wav, path)
+    _, ev_low, _ = infer_file_artifact(wav, path, threshold=0.0)
+    assert len(ev_default) == 0
+    assert len(ev_low) >= 1
+
+
 def test_sednet_trunk_export(rng):
     """Mel-pooled multi-class trunk (the SEDnet geometry: seq_len_out ==
     seq_len_in, n_classes > 1): windowed and streaming programs both
