@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--channel-tag", default="mon")
     p.add_argument("--split", default="val", choices=["val", "train"])
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument(
+        "--median", type=int, default=0,
+        help="odd width > 1 median-smooths the probability tracks before "
+             "all thresholding (standard DCASE post-processing; 0 = off)",
+    )
     p.add_argument("--event-matching", default="optimal",
                    choices=["optimal", "greedy"],
                    help="event-metric pairing: 'optimal' (maximum bipartite, "
@@ -69,6 +74,7 @@ def main(argv=None):
             event_matching=args.event_matching,
             mesh=mesh,
             ensemble=ensemble,
+            median_filter=args.median,
         )
 
     if len(loaded) == 1:

@@ -48,6 +48,7 @@ def infer_file(
     carry_backward: bool = False,
     lookahead: bool = False,
     log_floor: float = 1e-10,
+    median: int = 0,
 ):
     """``log_floor`` clamps mel energies before the log: real recordings can
     contain exact digital silence, whose parity-mode log(0) = -inf features
@@ -90,6 +91,10 @@ def infer_file(
         ],
         axis=0,
     )
+    if median > 1:
+        from sed_crnn_tpu.ops.postprocess import median_smooth
+
+        probs = median_smooth(probs, median)
     pool = cfg.model.seq_len_in // cfg.model.seq_len_out
     out_hop = cfg.frontend.hop_length * pool  # samples per output frame
     events = events_from_labels(
@@ -152,6 +157,7 @@ def infer_file_artifact(
     threshold=None,
     log_floor: float = 1e-10,
     lookahead: bool = False,
+    median: int = 0,
 ):
     """Serve from an AOT artifact (`apps/export.py`): the artifact's meta
     carries the frontend parameters and its programs carry the weights and
@@ -179,6 +185,10 @@ def infer_file_artifact(
     pcm = decode_audio(wav_path, sr=fcfg.sample_rate, mono=True)
     mel = frontend.extract(pcm, fcfg)
     probs = art.stream(mel, lookahead=lookahead)
+    if median > 1:
+        from sed_crnn_tpu.ops.postprocess import median_smooth
+
+        probs = median_smooth(probs, median)
 
     pool = int(art.meta["seq_len_in"]) // int(art.meta["seq_len_out"])
     out_hop = fcfg.hop_length * pool
@@ -204,6 +214,11 @@ def main(argv=None):
              "(the per_class_sweep.thresholds of a sedtpu-evaluate report). "
              "Default: the artifact's baked-in default_threshold when "
              "serving with --artifact, else 0.5",
+    )
+    p.add_argument(
+        "--median", type=int, default=0,
+        help="odd width > 1 median-smooths the probability tracks before "
+             "event decoding (standard DCASE post-processing; 0 = off)",
     )
     p.add_argument("--stats-from", help="cache dir with per-video npz for norm stats")
     p.add_argument("--fold", type=int, default=1)
@@ -234,7 +249,7 @@ def main(argv=None):
     if args.artifact:
         probs, events, meta = infer_file_artifact(
             args.wav, args.artifact, threshold, args.log_floor,
-            args.lookahead,
+            args.lookahead, args.median,
         )
     else:
         stats = (
@@ -246,6 +261,7 @@ def main(argv=None):
             args.wav, args.checkpoint, args.preset, stats,
             0.5 if threshold is None else threshold,
             args.carry_backward, args.lookahead, args.log_floor,
+            args.median,
         )
     payload = {
         "wav": args.wav,

@@ -126,6 +126,7 @@ def evaluate_split(
     mesh=None,
     axis_name: Optional[str] = None,
     ensemble: bool = False,
+    median_filter: int = 0,
 ) -> Dict:
     """Evaluate one (features, labels) split end to end. Returns metrics at
     the configured threshold plus the full sweep and best-ER threshold.
@@ -136,7 +137,10 @@ def evaluate_split(
     multi-chip path for large-split scoring; results are identical to the
     single-device program.
     ``ensemble``: params/state are N stacked member trees (`stack_trees`);
-    the report scores the mean of the members' sigmoid probabilities."""
+    the report scores the mean of the members' sigmoid probabilities.
+    ``median_filter``: odd width > 1 median-smooths the probability tracks
+    before ALL thresholding (base scores, sweeps, event decode) — the
+    standard DCASE post-processing step (`ops/postprocess.py`)."""
     m = cfg.model
     t = cfg.train
     thresholds = DEFAULT_THRESHOLDS if thresholds is None else np.asarray(thresholds)
@@ -170,6 +174,13 @@ def evaluate_split(
     probs = probs[:n]
     flat_p = probs.reshape(-1, probs.shape[-1])
     flat_y = jnp.asarray(yw.reshape(-1, yw.shape[-1]))
+    if median_filter > 1:
+        # Windows are sequential and non-overlapping, so the flattened roll
+        # is time-contiguous and the running median crosses window
+        # boundaries correctly.
+        from sed_crnn_tpu.ops.postprocess import median_smooth
+
+        flat_p = median_smooth(flat_p, median_filter)
 
     base = metrics_ops.all_scores(
         (flat_p > t.threshold).astype(jnp.float32), flat_y, t.frames_in_1_sec
@@ -221,6 +232,10 @@ def evaluate_split(
         "f1_event": ev["f1_event"],
         "class_wise": class_wise,
         "n_windows": n,
+        "median_filter": int(median_filter),
+        "confusion": {
+            k: int(base[k]) for k in ("tn", "fp", "fn", "tp")
+        },
         "threshold": float(t.threshold),
         "er_1s": float(base["er_overall_1sec"]),
         "f1_1s": float(base["f1_overall_1sec"]),
