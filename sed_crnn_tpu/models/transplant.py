@@ -1,6 +1,6 @@
-"""Checkpoint import: migrate reference-lineage weights into CRNN pytrees.
+"""Checkpoint migration: reference-lineage weights <-> CRNN pytrees.
 
-Two migration paths cover the reference's two generations:
+Import — two paths cover the reference's two generations:
 
 * **Torch/Lightning** (`sed.py:82-112`, `crnn_lightning.py:41-73`):
   ``load_torch_checkpoint`` maps a torch ``state_dict`` onto the
@@ -28,6 +28,15 @@ state-dict insertion order — torch preserves registration order, so this
 matches the sequential architectures used here without hard-coding names.
 Numerical parity of the mapping is pinned by `tests/test_model_parity.py`
 (transplanted forward within 2e-4 of torch eval mode).
+
+Export — the reverse migration, so models trained here deploy in the
+reference stacks unchanged: ``save_torch_checkpoint`` writes a torch
+``state_dict`` whose keys load strictly into the reference's own model
+classes (`sed.py:82-112` v1 naming, `crnn_lightning.py:41-73` v2 naming, or
+a generic naming that round-trips through ``load_torch_checkpoint``), and
+``save_keras_checkpoint`` writes the sednet lineage either as a legacy
+keras-2.2 HDF5 weight file (what 2017-era ``model.load_weights`` consumes,
+`/root/reference/requirements.txt:1`) or as a modern ``.keras`` model.
 """
 
 from __future__ import annotations
@@ -444,6 +453,379 @@ def _modules_from_keras_model(model) -> List[KerasModule]:
     return modules
 
 
+# ---------------------------------------------------------------------------
+# Export: framework pytrees -> reference-stack weight files
+# ---------------------------------------------------------------------------
+
+
+def _f32(a) -> np.ndarray:
+    return np.asarray(a, np.float32)
+
+
+def _is_keras_cell(params: Dict[str, Any]) -> bool:
+    """keras-2.2 convention GRUs (reset_after=False) carry a single bias."""
+    return any(
+        "bh" not in g[d] for g in params["gru"] for d in ("fwd", "bwd")
+    )
+
+
+def resolve_torch_naming(params: Dict[str, Any], naming: str = "auto") -> str:
+    """Pick (or validate) the torch state-dict naming scheme.
+
+    * ``"v1"`` — the reference's `sed.py:82-112` class: ``convs.{i}`` /
+      ``bns.{i}`` ModuleLists, ONE stacked bidirectional ``gru``, ``fc``
+      head. Requires equal GRU hidden sizes with stacked-compatible input
+      dims and a single head layer.
+    * ``"v2"`` — `crnn_lightning.py:41-73`: a ``conv_stack`` Sequential
+      (conv/BN/ReLU/pool per block), ``gru1``/``gru2``, ``d1``/``d2``.
+      Requires exactly 2 GRU layers and 2 head layers.
+    * ``"generic"`` — ``convs.{i}`` / ``bns.{i}`` / ``grus.{k}`` /
+      ``head.{i}``; always valid, round-trips through
+      ``load_torch_checkpoint``.
+    """
+    hidden = [int(np.shape(g["fwd"]["wh"])[0]) for g in params["gru"]]
+    stacked = all(h == hidden[0] for h in hidden) and all(
+        int(np.shape(params["gru"][k]["fwd"]["wi"])[0]) == 2 * hidden[0]
+        for k in range(1, len(hidden))
+    )
+    v1_ok = stacked and len(params["head"]) == 1
+    v2_ok = len(params["gru"]) == 2 and len(params["head"]) == 2
+    if naming == "auto":
+        return "v1" if v1_ok else ("v2" if v2_ok else "generic")
+    if naming == "v1" and not v1_ok:
+        raise ValueError(
+            "naming='v1' needs a torch-stackable GRU (equal hidden sizes "
+            f"{hidden}, layer k>0 input = 2*hidden) and exactly one head "
+            f"layer (got {len(params['head'])})"
+        )
+    if naming == "v2" and not v2_ok:
+        raise ValueError(
+            "naming='v2' needs exactly 2 GRU layers and 2 head layers "
+            f"(got {len(params['gru'])} / {len(params['head'])})"
+        )
+    if naming not in ("v1", "v2", "generic"):
+        raise ValueError(f"unknown naming {naming!r}")
+    return naming
+
+
+def _torch_gru_dir(g: Dict[str, Any], suffix: str) -> Dict[str, np.ndarray]:
+    return {
+        f"weight_ih{suffix}": _f32(g["wi"]).T,
+        f"weight_hh{suffix}": _f32(g["wh"]).T,
+        f"bias_ih{suffix}": _f32(g["bi"]),
+        f"bias_hh{suffix}": _f32(g["bh"]),
+    }
+
+
+def torch_state_dict_from_params(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    naming: str = "auto",
+) -> Dict[str, np.ndarray]:
+    """``(params, state)`` -> torch ``state_dict`` (numpy values; wrap with
+    ``save_torch_checkpoint`` to write a ``.pt``). Exact inverse of
+    ``params_from_torch_state_dict``: conv HWIO -> OIHW, right-multiply
+    weights transpose back, BN running stats rejoin the affine params."""
+    if cfg.name == "sednet" or _is_keras_cell(params):
+        raise ValueError(
+            "sednet presets use the keras-convention GRU cell "
+            "(reset_after=False, single bias) which torch's cuDNN-layout "
+            "nn.GRU cannot represent — export those with "
+            "save_keras_checkpoint instead"
+        )
+    naming = resolve_torch_naming(params, naming)
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(key: str, c: Dict[str, Any]):
+        sd[f"{key}.weight"] = _f32(c["w"]).transpose(3, 2, 0, 1)
+        sd[f"{key}.bias"] = _f32(c["b"])
+
+    def put_bn(key: str, p: Dict[str, Any], s: Dict[str, Any]):
+        sd[f"{key}.weight"] = _f32(p["scale"])
+        sd[f"{key}.bias"] = _f32(p["bias"])
+        sd[f"{key}.running_mean"] = _f32(s["mean"])
+        sd[f"{key}.running_var"] = _f32(s["var"])
+        sd[f"{key}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def put_gru(key: str, g: Dict[str, Any], layer: int):
+        sd.update(
+            {f"{key}.{k}": v
+             for k, v in _torch_gru_dir(g["fwd"], f"_l{layer}").items()}
+        )
+        sd.update(
+            {f"{key}.{k}": v
+             for k, v in _torch_gru_dir(g["bwd"], f"_l{layer}_reverse").items()}
+        )
+
+    def put_linear(key: str, p: Dict[str, Any]):
+        sd[f"{key}.weight"] = _f32(p["w"]).T
+        sd[f"{key}.bias"] = _f32(p["b"])
+
+    blocks = zip(params["conv"], params["bn"], state["bn"])
+    if naming == "v1":
+        for i, (c, bp, bs) in enumerate(blocks):
+            put_conv(f"convs.{i}", c)
+            put_bn(f"bns.{i}", bp, bs)
+        for k, g in enumerate(params["gru"]):
+            put_gru("gru", g, k)
+        put_linear("fc", params["head"][0])
+    elif naming == "v2":
+        # conv_stack Sequential indices: [conv, BN, ReLU, pool] per block.
+        for i, (c, bp, bs) in enumerate(blocks):
+            put_conv(f"conv_stack.{4 * i}", c)
+            put_bn(f"conv_stack.{4 * i + 1}", bp, bs)
+        put_gru("gru1", params["gru"][0], 0)
+        put_gru("gru2", params["gru"][1], 0)
+        put_linear("d1", params["head"][0])
+        put_linear("d2", params["head"][1])
+    else:
+        for i, (c, bp, bs) in enumerate(blocks):
+            put_conv(f"convs.{i}", c)
+            put_bn(f"bns.{i}", bp, bs)
+        for k, g in enumerate(params["gru"]):
+            put_gru(f"grus.{k}", g, 0)
+        for i, p in enumerate(params["head"]):
+            put_linear(f"head.{i}", p)
+    return sd
+
+
+def save_torch_checkpoint(
+    path: str,
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    naming: str = "auto",
+) -> str:
+    """Write a raw torch ``state_dict`` file — the format the reference's
+    trainer saves and loads (`sed.py:196-199`)."""
+    import torch
+
+    sd = torch_state_dict_from_params(cfg, params, state, naming)
+    # np.array: torch.from_numpy needs a writable buffer; jax-backed arrays
+    # (and transposed views) are not.
+    torch.save(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, path
+    )
+    return path
+
+
+def keras_modules_from_params(
+    params: Dict[str, Any], state: Dict[str, Any]
+) -> List[KerasModule]:
+    """``(params, state)`` -> ordered keras module stream (the inverse of
+    ``params_from_keras_modules``; the z/r gate swap is an involution)."""
+    if not _is_keras_cell(params):
+        raise ValueError(
+            "torch-convention GRUs (reset_after=True, two biases) cannot be "
+            "written as the keras-2.2 cell — export those with "
+            "save_torch_checkpoint instead"
+        )
+    mods: List[KerasModule] = []
+    for c, bp, bs in zip(params["conv"], params["bn"], state["bn"]):
+        mods.append(("conv", [_f32(c["w"]), _f32(c["b"])]))
+        mods.append(
+            ("bn", [_f32(bp["scale"]), _f32(bp["bias"]),
+                    _f32(bs["mean"]), _f32(bs["var"])])
+        )
+    for g in params["gru"]:
+        h = int(np.shape(g["fwd"]["wh"])[0])
+        mods.append(
+            (
+                "bigru",
+                {
+                    d: [
+                        _reorder_keras_gates(_f32(g[d]["wi"]), h),
+                        _reorder_keras_gates(_f32(g[d]["wh"]), h),
+                        _reorder_keras_gates(_f32(g[d]["bi"]), h),
+                    ]
+                    for d in ("fwd", "bwd")
+                },
+            )
+        )
+    for p in params["head"]:
+        mods.append(("dense", [_f32(p["w"]), _f32(p["b"])]))
+    return mods
+
+
+def save_keras_h5_weights(
+    path: str, params: Dict[str, Any], state: Dict[str, Any]
+) -> str:
+    """Write a legacy keras-2.2 HDF5 weight file (root ``layer_names``
+    attr, per-layer ``weight_names`` attrs) — loadable by the 2017-era
+    ``model.load_weights`` onto the reference lineage's ``get_model()``
+    (keras 2 matches saved weight-bearing layers to model layers in order),
+    and by this module's ``load_keras_h5``. Pure h5py; keras not needed."""
+    import h5py
+
+    kind_names = {
+        "conv": "conv2d",
+        "bn": "batch_normalization",
+        "bigru": "bidirectional",
+        "dense": "time_distributed",
+    }
+    weight_names = {
+        "conv": ("kernel", "bias"),
+        "bn": ("gamma", "beta", "moving_mean", "moving_variance"),
+        "dense": ("kernel", "bias"),
+    }
+    counters: Dict[str, int] = {}
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+        layer_names = []
+        for kind, arrays in keras_modules_from_params(params, state):
+            n = counters.get(kind, 0) + 1
+            counters[kind] = n
+            lname = f"{kind_names[kind]}_{n}"
+            layer_names.append(lname.encode())
+            lg = g.create_group(lname)
+            wnames = []
+            if kind == "bigru":
+                for tag, arrs in (
+                    ("forward_gru", arrays["fwd"]),
+                    ("backward_gru", arrays["bwd"]),
+                ):
+                    for wn, w in zip(
+                        ("kernel", "recurrent_kernel", "bias"), arrs
+                    ):
+                        name = f"{lname}/{tag}/{wn}:0"
+                        lg.create_dataset(name, data=w)
+                        wnames.append(name.encode())
+            else:
+                inner = "dense/" if kind == "dense" else ""
+                for wn, w in zip(weight_names[kind], arrays):
+                    name = f"{lname}/{inner}{wn}:0"
+                    lg.create_dataset(name, data=w)
+                    wnames.append(name.encode())
+            lg.attrs["weight_names"] = np.array(wnames, dtype="S")
+        g.attrs["layer_names"] = np.array(layer_names, dtype="S")
+    return path
+
+
+_HARD_SIGMOID_LEGACY = None
+
+
+def register_keras_custom_objects():
+    """keras-2.2's hard_sigmoid (`clip(0.2x+0.5, 0, 1)`), registered as a
+    serializable custom activation — keras-3 renamed ``hard_sigmoid`` to
+    ``relu6(x+3)/6``, so the legacy gate must ship as a custom object.
+    ``load_keras_checkpoint`` registers it automatically; plain-keras users
+    loading an exported ``.keras`` call this once before
+    ``keras.saving.load_model``. Returns the activation function."""
+    global _HARD_SIGMOID_LEGACY
+    if _HARD_SIGMOID_LEGACY is None:
+        import keras
+
+        @keras.saving.register_keras_serializable(package="sed_crnn_tpu")
+        def hard_sigmoid_legacy(x):
+            return keras.ops.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+        _HARD_SIGMOID_LEGACY = hard_sigmoid_legacy
+    return _HARD_SIGMOID_LEGACY
+
+
+def build_keras_sednet(cfg: ModelConfig):
+    """The SEDnet family as a keras-3 functional model matching
+    `models/crnn.py`'s structure (reference `README.md:29-44` + diagram):
+    channels_last conv blocks with mel-axis pooling, permute to the
+    [T, C, F'] flatten order, bidirectional GRUs (reset_after=False),
+    time-distributed linear head."""
+    import keras
+
+    if cfg.gru_gate_activation == "hard_sigmoid":
+        gate = register_keras_custom_objects()
+    else:
+        gate = cfg.gru_gate_activation
+    T, F = cfg.seq_len_in, cfg.n_mels
+    inp = keras.Input((T, F, cfg.in_channels))
+    x = inp
+    for out_ch, p in zip(cfg.conv_channels, cfg.pool):
+        x = keras.layers.Conv2D(out_ch, cfg.kernel_size, padding="same")(x)
+        x = keras.layers.BatchNormalization(axis=-1, epsilon=cfg.bn_eps)(x)
+        x = keras.layers.Activation("relu")(x)
+        x = keras.layers.MaxPooling2D((1, p))(x)
+        F //= p
+    x = keras.layers.Permute((1, 3, 2))(x)  # (T, F', C) -> (T, C, F')
+    x = keras.layers.Reshape((T, cfg.conv_channels[-1] * F))(x)
+    for h in cfg.gru_hidden:
+        x = keras.layers.Bidirectional(
+            keras.layers.GRU(
+                h,
+                activation="tanh",
+                recurrent_activation=gate,
+                reset_after=False,
+                return_sequences=True,
+            ),
+            merge_mode="concat",
+        )(x)
+    for d in cfg.head_dims:
+        x = keras.layers.TimeDistributed(keras.layers.Dense(d))(x)
+    return keras.Model(inp, x)
+
+
+def keras_model_from_params(
+    cfg: ModelConfig, params: Dict[str, Any], state: Dict[str, Any]
+):
+    """Build the keras SEDnet and load this framework's weights into it.
+    Returns a live keras model whose inference matches `models/crnn.py`
+    (same piecewise parity bands as the import direction —
+    `tests/test_keras_import.py`)."""
+    if cfg.name != "sednet":
+        raise ValueError(
+            "keras export targets the sednet presets (keras-convention GRU); "
+            "timepooled checkpoints export with save_torch_checkpoint"
+        )
+    model = build_keras_sednet(cfg)
+    mods = iter(keras_modules_from_params(params, state))
+    for layer in model.layers:
+        kind = type(layer).__name__
+        if kind == "Conv2D":
+            k, arrays = next(mods)
+            assert k == "conv", f"layer order mismatch: {k} at {layer.name}"
+            layer.set_weights(arrays)
+        elif kind == "BatchNormalization":
+            k, arrays = next(mods)
+            assert k == "bn", f"layer order mismatch: {k} at {layer.name}"
+            layer.set_weights(arrays)
+        elif kind == "Bidirectional":
+            k, arrays = next(mods)
+            assert k == "bigru", f"layer order mismatch: {k} at {layer.name}"
+            layer.forward_layer.set_weights(arrays["fwd"])
+            layer.backward_layer.set_weights(arrays["bwd"])
+        elif kind == "TimeDistributed":
+            k, arrays = next(mods)
+            assert k == "dense", f"layer order mismatch: {k} at {layer.name}"
+            layer.layer.set_weights(arrays)
+    leftover = next(mods, None)
+    assert leftover is None, f"unconsumed module {leftover[0]!r}"
+    return model
+
+
+def save_keras_checkpoint(
+    path: str, cfg: ModelConfig, params: Dict[str, Any], state: Dict[str, Any]
+) -> str:
+    """Write a keras checkpoint of a sednet-preset model: ``.h5``/``.hdf5``
+    -> legacy keras-2.2 weight file (for reference-lineage ``load_weights``,
+    no keras needed to write); ``.keras`` -> modern full-model file (with
+    ``hard_sigmoid`` gates the file references this package's registered
+    legacy activation — call ``register_keras_custom_objects()`` before a
+    plain-keras ``load_model``; ``load_keras_checkpoint`` does so itself)."""
+    if cfg.name != "sednet":
+        raise ValueError(
+            "keras export targets the sednet presets (keras-convention GRU); "
+            "timepooled checkpoints export with save_torch_checkpoint"
+        )
+    if path.endswith((".h5", ".hdf5")):
+        return save_keras_h5_weights(path, params, state)
+    if path.endswith(".keras"):
+        keras_model_from_params(cfg, params, state).save(path)
+        return path
+    raise ValueError(
+        f"unrecognized keras checkpoint extension in {path!r}: use .h5/.hdf5 "
+        "(legacy keras-2 weights) or .keras (modern full model)"
+    )
+
+
 def load_keras_checkpoint(path: str, cfg: ModelConfig):
     """Read a keras SEDnet checkpoint and return ``(params, state)``.
 
@@ -462,5 +844,6 @@ def load_keras_checkpoint(path: str, cfg: ModelConfig):
             return load_keras_h5(path, cfg)
     import keras
 
+    register_keras_custom_objects()
     model = keras.saving.load_model(path, compile=False)
     return params_from_keras_modules(cfg, _modules_from_keras_model(model))
