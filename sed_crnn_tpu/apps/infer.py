@@ -234,7 +234,19 @@ def main(argv=None):
              "no-epsilon semantics; exact digital silence then yields -inf "
              "features and NaN probabilities)",
     )
-    p.add_argument("--out", help="write events as JSON here (default stdout)")
+    p.add_argument(
+        "--format", choices=("json", "dcase"), default="json",
+        help="'dcase' writes the tab-separated event-list rows "
+             "(onset<TAB>offset<TAB>label) the DCASE/sed_eval ecosystem "
+             "consumes (scoreable with sedtpu-score-events)",
+    )
+    p.add_argument(
+        "--class-names",
+        help="comma-separated event labels for --format dcase (default: "
+             "'hit' for 1-class models, the DCASE 2017 street classes for "
+             "6-class models, indices otherwise)",
+    )
+    p.add_argument("--out", help="write events here (default stdout)")
     args = p.parse_args(argv)
 
     if bool(args.checkpoint) == bool(args.artifact):
@@ -263,19 +275,32 @@ def main(argv=None):
             args.carry_backward, args.lookahead, args.log_floor,
             args.median,
         )
-    payload = {
-        "wav": args.wav,
-        "checkpoint_epoch": meta.get("epoch"),
-        "ensemble_members": len(meta["members"]) if "members" in meta else (
-            meta.get("ensemble_members") or None
-        ),
-        "n_output_frames": int(probs.shape[0]),
-        "events": [
-            {"start_s": round(s, 3), "end_s": round(e, 3), "class": c}
-            for s, e, c in events
-        ],
-    }
-    text = json.dumps(payload, indent=2)
+    if args.format == "dcase":
+        from sed_crnn_tpu.data.eventio import (
+            default_class_names,
+            format_event_list,
+        )
+
+        names = (
+            tuple(args.class_names.split(","))
+            if args.class_names
+            else default_class_names(int(probs.shape[1]))
+        )
+        text = format_event_list(events, names)
+    else:
+        payload = {
+            "wav": args.wav,
+            "checkpoint_epoch": meta.get("epoch"),
+            "ensemble_members": len(meta["members"]) if "members" in meta else (
+                meta.get("ensemble_members") or None
+            ),
+            "n_output_frames": int(probs.shape[0]),
+            "events": [
+                {"start_s": round(s, 3), "end_s": round(e, 3), "class": c}
+                for s, e, c in events
+            ],
+        }
+        text = json.dumps(payload, indent=2)
     if args.out:
         with open(args.out, "w") as f:
             f.write(text)

@@ -247,6 +247,24 @@ def test_feature_train_infer_pipeline(tmp_path, rng):
     assert payload["n_output_frames"] == (4 * 43 + 1) // 8
     assert isinstance(payload["events"], list)
 
+    # DCASE/sed_eval interchange rows from the same checkpoint
+    from sed_crnn_tpu.data.eventio import read_event_list
+
+    out_txt = tmp_path / "events.txt"
+    infer_app.main(
+        [
+            "--wav", str(media / "clip0.wav"), "--checkpoint", str(ckpt),
+            "--preset", "timepooled-v2", "--stats-from", str(cache),
+            "--format", "dcase", "--out", str(out_txt),
+        ]
+    )
+    rows = read_event_list(str(out_txt)) if out_txt.read_text() else []
+    assert len(rows) == len(payload["events"])
+    for (_, onset, offset, label), ev in zip(rows, payload["events"]):
+        assert label == "hit"
+        assert onset == pytest.approx(ev["start_s"], abs=1e-3)
+        assert offset == pytest.approx(ev["end_s"], abs=1e-3)
+
 
 def test_train_app_synthetic(tmp_path):
     # v2 preset: the conv-128 v1 model is ~60x more conv FLOPs — far too slow
