@@ -1,0 +1,242 @@
+"""Real-time serving daemon: a live PCM stream in, detections out, from an
+AOT artifact alone.
+
+The offline apps decode a whole recording before inferring; this is the
+LIVE path — arbitrary-size PCM packets (a microphone, a socket, ffmpeg's
+stdout) enter a streaming framer (`utils/native.py`, C++ with a numpy
+fallback), complete frames become log-mel rows
+(`ops/frontend.py::log_mel_from_frames`), and every ``seq_len_in`` frames
+one `stream_step` of the artifact advances the carried GRU state and emits
+frame probabilities. Events open and close online: one JSON line per
+completed event as soon as its offset is known (plus per-chunk probability
+lines with ``--emit probs|both``). Normalization and weights live inside
+the artifact's programs; the wav/PCM bytes and the ``.sedart`` file are the
+only inputs. Matches the offline pipeline bit-for-near (chain parity pinned
+in `tests/test_export.py::test_realtime_chain_matches_offline` and
+`tests/test_serve.py`).
+
+  ffmpeg -i rtsp://cam -f f32le -ac 1 -ar 44100 - | \
+      sedtpu-serve --artifact model.sedart --pcm f32le
+  sedtpu-serve --artifact model.sedart --wav recording.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from sed_crnn_tpu.data.eventio import default_class_names
+
+
+def pcm_chunks_from_stream(stream, fmt: str = "f32le", chunk_bytes: int = 65536):
+    """Byte stream -> float32 PCM chunks. ``f32le`` passes through;
+    ``s16le`` scales by 1/32768. Carries split samples across reads."""
+    width = 4 if fmt == "f32le" else 2
+    if fmt not in ("f32le", "s16le"):
+        raise ValueError(f"unknown pcm format {fmt!r}: use f32le or s16le")
+    pending = b""
+    while True:
+        data = stream.read(chunk_bytes)
+        if not data:
+            break
+        data = pending + data
+        usable = len(data) - len(data) % width
+        pending = data[usable:]
+        if not usable:
+            continue
+        if fmt == "f32le":
+            yield np.frombuffer(data[:usable], "<f4").astype(np.float32)
+        else:
+            yield np.frombuffer(data[:usable], "<i2").astype(np.float32) / 32768.0
+
+
+def pcm_chunks_from_wav(path: str, sr: int, chunk_samples: int = 8192):
+    from sed_crnn_tpu.data.wavio import decode_audio
+
+    pcm = decode_audio(path, sr=sr, mono=True)
+    for i in range(0, len(pcm), chunk_samples):
+        yield pcm[i : i + chunk_samples]
+
+
+class OnlineEventDecoder:
+    """Threshold-crossing event tracker over streamed probability chunks:
+    emits each event once, the moment its offset frame arrives (or at
+    end-of-stream for events still open)."""
+
+    def __init__(self, n_classes: int, frame_hop_s: float, threshold):
+        self.thr = np.broadcast_to(
+            np.asarray(threshold, np.float32), (n_classes,)
+        ).copy()
+        self.hop_s = frame_hop_s
+        self.open = [None] * n_classes  # onset frame index per class
+        self.frame = 0
+
+    def push(self, probs: np.ndarray):
+        """(frames, n_classes) probabilities -> completed events
+        ``(onset_s, offset_s, class)``."""
+        done = []
+        active = np.asarray(probs) > self.thr[None, :]
+        for row in active:
+            for c, a in enumerate(row):
+                if a and self.open[c] is None:
+                    self.open[c] = self.frame
+                elif not a and self.open[c] is not None:
+                    done.append(
+                        (self.open[c] * self.hop_s, self.frame * self.hop_s, c)
+                    )
+                    self.open[c] = None
+            self.frame += 1
+        return done
+
+    def finish(self):
+        done = [
+            (s * self.hop_s, self.frame * self.hop_s, c)
+            for c, s in enumerate(self.open)
+            if s is not None
+        ]
+        self.open = [None] * len(self.open)
+        return done
+
+
+def serve_stream(
+    artifact,
+    pcm_chunks,
+    emit,
+    threshold=None,
+    log_floor: float = 1e-10,
+    emit_probs: bool = False,
+    emit_events: bool = True,
+):
+    """Drive the live chain; calls ``emit(dict)`` per output line. Returns
+    ``(n_output_frames, n_events)``."""
+    import dataclasses
+
+    from sed_crnn_tpu.core.config import FrontendConfig
+    from sed_crnn_tpu.ops.frontend import log_mel_from_frames
+    from sed_crnn_tpu.utils.native import make_framer
+
+    meta = artifact.meta
+    fcfg = FrontendConfig(**meta["frontend"])
+    if log_floor:
+        fcfg = dataclasses.replace(fcfg, log_floor=float(log_floor))
+    n_classes = int(meta["n_classes"])
+    chunk_frames = int(meta["seq_len_in"])
+    pool = chunk_frames // int(meta["seq_len_out"])
+    out_hop_s = fcfg.hop_length * pool / fcfg.sample_rate
+    if threshold is None:
+        threshold = meta.get("default_threshold") or 0.5
+
+    framer = make_framer(fcfg.n_fft, fcfg.hop_length, fcfg.center)
+    decoder = OnlineEventDecoder(n_classes, out_hop_s, threshold)
+    carry = artifact.stream_init()
+    buf = np.empty((0, fcfg.n_mels), np.float32)
+    n_out = n_events = chunk_i = 0
+
+    def step_ready():
+        nonlocal buf, carry, n_out, n_events, chunk_i
+        while buf.shape[0] >= chunk_frames:
+            carry, probs = artifact.stream_step(carry, buf[:chunk_frames])
+            buf = buf[chunk_frames:]
+            probs = np.asarray(probs)
+            n_out += probs.shape[0]
+            if emit_probs:
+                emit({"type": "probs", "chunk": chunk_i,
+                      "probs": np.round(probs, 5).tolist()})
+            if emit_events:
+                for s, e, c in decoder.push(probs):
+                    n_events += 1
+                    emit({"type": "event", "start_s": round(s, 3),
+                          "end_s": round(e, 3), "class": c})
+            chunk_i += 1
+
+    for pcm in pcm_chunks:
+        frames = framer.feed(pcm)
+        if frames.shape[0]:
+            buf = np.concatenate(
+                [buf, np.asarray(log_mel_from_frames(frames, fcfg))], axis=0
+            )
+        step_ready()
+    # End of stream: the framer's right-pad tail frames, then any still-open
+    # events (their offset is the stream end). The final ragged partial
+    # chunk (< seq_len_in frames) is dropped, exactly as the offline
+    # artifact.stream trims.
+    frames = framer.flush()
+    if frames.shape[0]:
+        buf = np.concatenate(
+            [buf, np.asarray(log_mel_from_frames(frames, fcfg))], axis=0
+        )
+    step_ready()
+    if emit_events:
+        for s, e, c in decoder.finish():
+            n_events += 1
+            emit({"type": "event", "start_s": round(s, 3),
+                  "end_s": round(e, 3), "class": c, "open_at_eos": True})
+    return n_out, n_events
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--artifact", required=True, help=".sedart from sedtpu-export")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pcm", choices=("f32le", "s16le"),
+                     help="read raw mono PCM of this format from stdin "
+                          "(sample rate must match the artifact's frontend)")
+    src.add_argument("--wav", help="serve a wav file through the live chain")
+    p.add_argument("--threshold", type=float, nargs="+", default=None,
+                   help="one global value or one per class (default: the "
+                        "artifact's baked-in operating points, else 0.5)")
+    p.add_argument("--emit", choices=("events", "probs", "both"),
+                   default="events")
+    p.add_argument("--class-names",
+                   help="comma-separated labels added to event lines")
+    p.add_argument("--log-floor", type=float, default=1e-10)
+    p.add_argument("--out", help="append JSON lines here (default stdout)")
+    args = p.parse_args(argv)
+
+    from sed_crnn_tpu.models.export import ServingArtifact
+
+    art = ServingArtifact.load(args.artifact)
+    n_classes = int(art.meta["n_classes"])
+    names = (
+        tuple(args.class_names.split(","))
+        if args.class_names
+        else default_class_names(n_classes)
+    )
+    if len(names) != n_classes:
+        p.error(f"{len(names)} class names for {n_classes} classes")
+    threshold = None
+    if args.threshold is not None:
+        threshold = (
+            args.threshold[0] if len(args.threshold) == 1
+            else np.asarray(args.threshold, np.float32)
+        )
+
+    sink = open(args.out, "a") if args.out else sys.stdout
+
+    def emit(obj):
+        if obj.get("type") == "event":
+            obj = {**obj, "label": names[obj["class"]]}
+        sink.write(json.dumps(obj) + "\n")
+        sink.flush()
+
+    if args.wav:
+        sr = int(art.meta["frontend"]["sample_rate"])
+        chunks = pcm_chunks_from_wav(args.wav, sr)
+    else:
+        chunks = pcm_chunks_from_stream(sys.stdin.buffer, args.pcm)
+
+    n_out, n_events = serve_stream(
+        art, chunks, emit, threshold, args.log_floor,
+        emit_probs=args.emit in ("probs", "both"),
+        emit_events=args.emit in ("events", "both"),
+    )
+    emit({"type": "summary", "n_output_frames": n_out, "n_events": n_events})
+    if args.out:
+        sink.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,24 @@ def _log_mel_jit(y, cfg):
     return log_mel_energies(y, cfg)
 
 
+def log_mel_from_frames(frames, cfg: FrontendConfig) -> jnp.ndarray:
+    """Log-mel rows from pre-framed windows ``(n, n_fft)`` — the live
+    serving path: a streaming framer (`utils/native.py`) emits complete
+    frames incrementally and this computes the identical rows
+    `log_mel_energies` produces for the whole waveform (same windowed-FFT
+    power, filterbank matmul precision, and floor semantics)."""
+    power = stft_ops.power_spectrum_fft(
+        jnp.asarray(frames), cfg.n_fft, jnp.asarray(stft_ops.hann_window(cfg.n_fft))
+    )
+    fb = jnp.asarray(
+        mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    )
+    mel = jnp.dot(power, fb.T, precision=jax.lax.Precision.HIGHEST)
+    if cfg.log_floor is not None:
+        mel = jnp.maximum(mel, cfg.log_floor)
+    return jnp.log(mel)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _log_mel_uncentered_jit(y, cfg):
     return log_mel_energies(y, dataclasses.replace(cfg, center=False))

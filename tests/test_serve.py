@@ -1,0 +1,178 @@
+"""The live serving daemon: PCM packets -> framer -> log-mel -> artifact
+stream steps -> online event lines, against the offline pipeline as oracle."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from sed_crnn_tpu.apps.serve import (
+    OnlineEventDecoder,
+    main as serve_main,
+    pcm_chunks_from_stream,
+    serve_stream,
+)
+from sed_crnn_tpu.models.export import export_serving
+from sed_crnn_tpu.ops import frontend as frontend_ops
+from sed_crnn_tpu.ops.event_metrics import events_from_roll
+from sed_crnn_tpu.utils import native
+from tests.test_export import _init, _tiny_cfg
+
+
+def _random_packets(pcm, rng, lo=256, hi=8192):
+    i = 0
+    while i < len(pcm):
+        step = int(rng.integers(lo, hi))
+        yield pcm[i : i + step]
+        i += step
+
+
+def test_python_framer_matches_whole_signal_framing(rng):
+    from sed_crnn_tpu.ops.stft import frame_signal
+
+    n_fft, hop = 512, 256
+    pcm = rng.standard_normal(44100).astype(np.float32)
+    framer = native.PythonFramer(n_fft, hop)
+    parts = [framer.feed(p) for p in _random_packets(pcm, rng)]
+    parts.append(framer.flush())
+    got = np.concatenate([p for p in parts if p.size], axis=0)
+    want = np.asarray(frame_signal(pcm, n_fft, hop, center=True))
+    n = min(len(got), len(want))
+    assert n >= len(want) - 1  # at most the final pad-only frame differs
+    np.testing.assert_array_equal(got[:n], want[:n])
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native toolchain")
+def test_python_framer_matches_native(rng):
+    n_fft, hop = 512, 256
+    pcm = rng.standard_normal(30000).astype(np.float32)
+    pf = native.PythonFramer(n_fft, hop)
+    nf = native.StreamingFramer(n_fft, hop)
+    got_p, got_n = [], []
+    for p in _random_packets(pcm, rng):
+        got_p.append(pf.feed(p))
+        got_n.append(nf.feed(p))
+    got_p.append(pf.flush())
+    got_n.append(nf.flush())
+    a = np.concatenate([x for x in got_p if x.size], axis=0)
+    b = np.concatenate([x for x in got_n if x.size], axis=0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_python_framer_flush_guard():
+    f = native.PythonFramer(512, 256)
+    f.feed(np.zeros(100, np.float32))
+    with pytest.raises(ValueError, match="more than"):
+        f.flush()
+    with pytest.raises(RuntimeError, match="already flushed"):
+        f.flush()
+
+
+def test_pcm_chunk_decoding_handles_split_samples(rng):
+    x = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+    raw = x.tobytes()
+    got = np.concatenate(
+        list(pcm_chunks_from_stream(io.BytesIO(raw), "f32le", chunk_bytes=333))
+    )
+    np.testing.assert_array_equal(got, x)
+
+    s16 = (x * 32768.0).clip(-32768, 32767).astype("<i2")
+    got16 = np.concatenate(
+        list(pcm_chunks_from_stream(io.BytesIO(s16.tobytes()), "s16le",
+                                    chunk_bytes=101))
+    )
+    np.testing.assert_allclose(got16, s16.astype(np.float32) / 32768.0)
+
+    with pytest.raises(ValueError, match="unknown pcm format"):
+        list(pcm_chunks_from_stream(io.BytesIO(b""), "u8"))
+
+
+def test_online_event_decoder_matches_roll_decoder(rng):
+    probs = rng.uniform(0, 1, (40, 3)).astype(np.float32)
+    thr = np.asarray([0.5, 0.3, 0.7], np.float32)
+    hop_s = 0.1
+    dec = OnlineEventDecoder(3, hop_s, thr)
+    got = []
+    for i in range(0, 40, 7):  # ragged chunk sizes
+        got += dec.push(probs[i : i + 7])
+    got += dec.finish()
+    want = events_from_roll(probs, hop_s, thr)
+    assert len(got) == len(want)
+    for g, w in zip(sorted(got), sorted(want)):
+        assert g[2] == w[2]
+        assert g[0] == pytest.approx(w[0]) and g[1] == pytest.approx(w[1])
+
+
+def test_serve_stream_matches_offline_artifact(rng):
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+
+    sr = cfg.frontend.sample_rate
+    pcm = (0.1 * rng.standard_normal(sr * 3)).astype(np.float32)
+
+    lines = []
+    n_out, n_events = serve_stream(
+        art, _random_packets(pcm, rng), lines.append,
+        threshold=0.5, emit_probs=True, emit_events=True,
+    )
+    live = np.concatenate(
+        [np.asarray(l["probs"]) for l in lines if l["type"] == "probs"], axis=0
+    )
+    assert live.shape[0] == n_out
+
+    import dataclasses
+
+    fcfg = dataclasses.replace(cfg.frontend, log_floor=1e-10)
+    mel_off = frontend_ops.extract(pcm, fcfg)
+    probs_off = art.stream(mel_off)
+    n = min(len(live), len(probs_off))
+    assert n > 0
+    np.testing.assert_allclose(live[:n], probs_off[:n], rtol=0, atol=1e-4)
+
+    # the emitted events are the threshold decode of the emitted probs
+    closed = [
+        (l["start_s"], l["end_s"], l["class"])
+        for l in lines
+        if l["type"] == "event" and not l.get("open_at_eos")
+    ]
+    hop_s = cfg.frontend.hop_length * (
+        cfg.model.seq_len_in // cfg.model.seq_len_out
+    ) / sr
+    want = [
+        (round(s, 3), round(e, 3), c)
+        for s, e, c in events_from_roll(live, hop_s, 0.5)
+    ]
+    open_ends = {w for w in want if np.isclose(w[1], len(live) * hop_s, atol=2e-3)}
+    assert set(closed) == set(want) - open_ends
+    assert n_events == len(want)
+
+
+def test_serve_cli_wav_end_to_end(tmp_path, rng):
+    from sed_crnn_tpu.data import wavio
+
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    art_path = str(tmp_path / "model.sedart")
+    art.save(art_path)
+
+    sr = cfg.frontend.sample_rate
+    pcm = (0.1 * rng.standard_normal(sr * 2)).astype(np.float32)
+    wav = str(tmp_path / "live.wav")
+    wavio.write_wav(wav, pcm, sr)
+
+    out = tmp_path / "lines.jsonl"
+    serve_main([
+        "--artifact", art_path, "--wav", wav, "--emit", "both",
+        "--threshold", "0.5", "--out", str(out),
+    ])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    kinds = {l["type"] for l in lines}
+    assert "summary" in kinds and "probs" in kinds
+    summary = [l for l in lines if l["type"] == "summary"][0]
+    assert summary["n_output_frames"] > 0
+    for l in lines:
+        if l["type"] == "event":
+            assert l["label"] == "hit"  # 1-class default vocabulary
