@@ -52,6 +52,12 @@ def main(argv=None):
         help="shard the window axis over ALL local devices "
              "(`jax.sharding.Mesh`); identical results, multi-chip speed",
     )
+    p.add_argument(
+        "--dump-events",
+        help="directory for the decoded ref_events.txt / est_events.txt "
+             "(sed_eval interchange rows; with several checkpoints, the "
+             "ensemble's events)",
+    )
     p.add_argument("--out", help="write the JSON report here (default stdout)")
     args = p.parse_args(argv)
 
@@ -67,7 +73,7 @@ def main(argv=None):
     fold = store.load_fold(args.cache_dir, args.fold, args.channel_tag)
     x, y = fold[f"{args.split}_x"], fold[f"{args.split}_y"]
 
-    def run(params, state, ensemble=False):
+    def run(params, state, ensemble=False, dump=False):
         return evaluate_split(
             model, params, state, x, y, cfg,
             batch_size=args.batch_size,
@@ -75,11 +81,12 @@ def main(argv=None):
             mesh=mesh,
             ensemble=ensemble,
             median_filter=args.median,
+            dump_events_dir=args.dump_events if dump else None,
         )
 
     if len(loaded) == 1:
         tree, meta = loaded[0]
-        report = run(tree["params"], tree["model_state"])
+        report = run(tree["params"], tree["model_state"], dump=True)
         report["checkpoint"] = args.checkpoint[0]
         report["checkpoint_epoch"] = meta.get("epoch")
     else:
@@ -101,6 +108,7 @@ def main(argv=None):
             stack_trees([t["params"] for t, _ in loaded]),
             stack_trees([t["model_state"] for t, _ in loaded]),
             ensemble=True,
+            dump=True,
         )
         ers = [m["er_1s"] for m in members]
         f1s = [m["f1_1s"] for m in members]

@@ -198,6 +198,32 @@ def event_scores(
     }
 
 
+def class_wise_event_scores(
+    ref_events: Sequence[Event],
+    sys_events: Sequence[Event],
+    n_classes: int = None,
+    **kwargs,
+) -> Dict:
+    """Per-class event scores (sed_eval's class-wise event metrics):
+    matching restricted within each class, so the per-class ER carries no
+    substitution term — a leftover of class c is a deletion/insertion of c,
+    never a substitution. ``n_classes`` fixes the class set (absent classes
+    report n_ref = n_sys = 0); by default the classes present in either
+    list are reported."""
+    if n_classes is None:
+        classes = sorted({e[2] for e in ref_events} | {e[2] for e in sys_events})
+    else:
+        classes = range(n_classes)
+    return {
+        c: event_scores(
+            [e for e in ref_events if e[2] == c],
+            [e for e in sys_events if e[2] == c],
+            **kwargs,
+        )
+        for c in classes
+    }
+
+
 def aggregate_event_scores(per_file: Sequence[Dict[str, float]]) -> Dict[str, float]:
     """Micro-average event scores across files: sum the intermediate counts
     (matches are never allowed across file boundaries — sed_eval's

@@ -11,6 +11,7 @@ forward via `lax.map`, vmapped sweep, scalar metrics out.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Optional
 
@@ -127,6 +128,7 @@ def evaluate_split(
     axis_name: Optional[str] = None,
     ensemble: bool = False,
     median_filter: int = 0,
+    dump_events_dir: Optional[str] = None,
 ) -> Dict:
     """Evaluate one (features, labels) split end to end. Returns metrics at
     the configured threshold plus the full sweep and best-ER threshold.
@@ -140,7 +142,10 @@ def evaluate_split(
     the report scores the mean of the members' sigmoid probabilities.
     ``median_filter``: odd width > 1 median-smooths the probability tracks
     before ALL thresholding (base scores, sweeps, event decode) — the
-    standard DCASE post-processing step (`ops/postprocess.py`)."""
+    standard DCASE post-processing step (`ops/postprocess.py`).
+    ``dump_events_dir``: also write the decoded reference/estimated event
+    lists there (`ref_events.txt` / `est_events.txt`, sed_eval interchange
+    rows) for external cross-scoring."""
     m = cfg.model
     t = cfg.train
     thresholds = DEFAULT_THRESHOLDS if thresholds is None else np.asarray(thresholds)
@@ -189,14 +194,45 @@ def evaluate_split(
 
     # Event-based scores (host-side over decoded events; the windowed roll is
     # time-ordered, with window-boundary truncation gaps ignored).
-    from sed_crnn_tpu.ops.event_metrics import event_scores_from_rolls
+    from sed_crnn_tpu.ops.event_metrics import (
+        class_wise_event_scores,
+        event_scores,
+        events_from_roll,
+    )
 
     pool = m.seq_len_in // m.seq_len_out
     frame_hop_s = cfg.frontend.hop_length * pool / cfg.frontend.sample_rate
-    ev = event_scores_from_rolls(
-        np.asarray(flat_p), np.asarray(flat_y), frame_hop_s,
-        threshold=t.threshold, matching=event_matching,
+    sys_ev = events_from_roll(np.asarray(flat_p), frame_hop_s, t.threshold)
+    ref_ev = events_from_roll(np.asarray(flat_y), frame_hop_s, 0.5)
+    ev = event_scores(ref_ev, sys_ev, matching=event_matching)
+    cw_ev = class_wise_event_scores(
+        ref_ev, sys_ev, n_classes=int(flat_y.shape[-1]), matching=event_matching
     )
+    class_wise_event = [
+        {
+            "f1_event": float(s["f1_event"]),
+            # no reference events -> ER is 0/0; mask instead of NaN in JSON
+            "er_event": float(s["er_event"]) if s["n_ref"] else None,
+            "n_ref": s["n_ref"],
+            "n_sys": s["n_sys"],
+        }
+        for _, s in sorted(cw_ev.items())
+    ]
+
+    if dump_events_dir is not None:
+        # The decoded lists in the sed_eval/DCASE interchange format, for
+        # external cross-scoring (e.g. the sed_eval package itself, or
+        # `sedtpu-score-events`).
+        from sed_crnn_tpu.data.eventio import default_class_names, write_event_list
+
+        names = default_class_names(int(flat_y.shape[-1]))
+        os.makedirs(dump_events_dir, exist_ok=True)
+        write_event_list(
+            os.path.join(dump_events_dir, "ref_events.txt"), ref_ev, names
+        )
+        write_event_list(
+            os.path.join(dump_events_dir, "est_events.txt"), sys_ev, names
+        )
 
     # Absent classes are masked to None instead of NaN/inf leaking into JSON.
     class_wise = metrics_ops.class_wise_report(
@@ -231,6 +267,7 @@ def evaluate_split(
         "er_event": ev["er_event"],
         "f1_event": ev["f1_event"],
         "class_wise": class_wise,
+        "class_wise_event": class_wise_event,
         "n_windows": n,
         "median_filter": int(median_filter),
         "confusion": {

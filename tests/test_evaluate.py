@@ -122,14 +122,32 @@ def test_evaluate_app_cli(tmp_path, rng):
     np.savez(str(tmp_path / "mbe_mon_fold1.npz"), x, y, x[:1000], y[:1000])
 
     out = str(tmp_path / "report.json")
+    dump = str(tmp_path / "events")
     eval_app.main(
         ["--checkpoint", ckpt, "--cache-dir", str(tmp_path), "--fold", "1",
-         "--batch-size", "8", "--out", out]
+         "--batch-size", "8", "--out", out, "--dump-events", dump]
     )
     report = json.loads(open(out).read())
     assert report["checkpoint_epoch"] == 3
     assert 0.0 <= report["best_threshold"] <= 1.0
     assert len(report["sweep"]["er_1s"]) == len(eval_mod.DEFAULT_THRESHOLDS)
+
+    # class-wise event scores are reported per class
+    assert len(report["class_wise_event"]) == 1
+    assert report["class_wise_event"][0]["n_ref"] >= 0
+
+    # the dumped event lists reproduce the report's event scores exactly
+    # when rescored externally with the same matching
+    import os
+
+    from sed_crnn_tpu.apps.score_events import score_event_lists
+
+    overall, _ = score_event_lists(
+        os.path.join(dump, "ref_events.txt"),
+        os.path.join(dump, "est_events.txt"),
+    )
+    assert overall["er_event"] == pytest.approx(report["er_event"], abs=1e-9)
+    assert overall["f1_event"] == pytest.approx(report["f1_event"], abs=1e-9)
 
 
 def test_ensemble_of_identical_members_equals_single(rng):

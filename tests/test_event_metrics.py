@@ -275,3 +275,33 @@ def test_greedy_equals_optimal_on_separated_scenes(rng):
 def test_event_scores_rejects_unknown_matching():
     with pytest.raises(ValueError, match="matching"):
         event_scores([], [], matching="fastest")
+
+
+def test_class_wise_event_scores():
+    from sed_crnn_tpu.ops.event_metrics import class_wise_event_scores
+
+    # ref: one class-0 and one class-1 event; sys detects the class-0 event
+    # but labels it class 1 (same interval) and misses class 1 entirely.
+    ref = [(1.0, 2.0, 0), (5.0, 6.0, 1)]
+    sys = [(1.0, 2.0, 1)]
+
+    overall = event_scores(ref, sys)
+    assert overall["substitutions"] == 1  # cross-class leftover pairing
+
+    cw = class_wise_event_scores(ref, sys, n_classes=3)
+    assert set(cw) == {0, 1, 2}
+    # within class 0: the ref event is a deletion (sys has nothing of class 0)
+    assert cw[0]["deletions"] == 1 and cw[0]["substitutions"] == 0
+    # within class 1: one deletion (5-6s) and one insertion (1-2s), no subs
+    assert cw[1]["deletions"] == 1 and cw[1]["insertions"] == 1
+    assert cw[1]["substitutions"] == 0
+    assert cw[1]["er_event"] == pytest.approx(2.0)
+    # absent class: empty both sides
+    assert cw[2]["n_ref"] == 0 and cw[2]["n_sys"] == 0
+
+    # default class set = classes present in either list
+    assert set(class_wise_event_scores(ref, sys)) == {0, 1}
+
+    # perfect within-class detection scores 0 ER per class
+    cw_ok = class_wise_event_scores(ref, ref, n_classes=2)
+    assert all(cw_ok[c]["er_event"] == 0.0 for c in (0, 1))
