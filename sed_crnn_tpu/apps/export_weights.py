@@ -39,13 +39,20 @@ _KERAS_EXTS = (".h5", ".hdf5", ".keras")
 def export_weights(
     checkpoint: str, preset: str, out_path: str, naming: str = "auto"
 ) -> str:
+    """Returns a one-line description of what was written (the path plus
+    the resolved torch naming scheme or keras format)."""
     cfg = get_preset(preset).model
     tree, _meta = ckpt_io.load_checkpoint(checkpoint)
     params, state = tree["params"], tree["model_state"]
     if out_path.endswith(_TORCH_EXTS):
-        return save_torch_checkpoint(out_path, cfg, params, state, naming)
+        save_torch_checkpoint(out_path, cfg, params, state, naming)
+        scheme = resolve_torch_naming(params, naming)
+        return f"{out_path} (torch, naming={scheme})"
     if out_path.endswith(_KERAS_EXTS):
-        return save_keras_checkpoint(out_path, cfg, params, state)
+        save_keras_checkpoint(out_path, cfg, params, state)
+        fmt = ("keras-2 legacy weights" if out_path.endswith((".h5", ".hdf5"))
+               else "keras model")
+        return f"{out_path} ({fmt})"
     raise ValueError(
         f"unrecognized output extension in {out_path!r}: torch targets use "
         f"{_TORCH_EXTS}, keras targets use {_KERAS_EXTS}"
@@ -66,15 +73,8 @@ def main(argv=None):
                          "(.pt/.pth/.ckpt torch, .h5/.hdf5 legacy keras-2 "
                          "weights, .keras modern keras model)")
     args = ap.parse_args(argv)
-    path = export_weights(args.checkpoint, args.preset, args.out, args.naming)
-    if args.out.endswith(_TORCH_EXTS):
-        tree, _ = ckpt_io.load_checkpoint(args.checkpoint)
-        scheme = resolve_torch_naming(tree["params"], args.naming)
-        print(f"exported {args.checkpoint} -> {path} (torch, naming={scheme})")
-    else:
-        fmt = "keras-2 legacy weights" if args.out.endswith((".h5", ".hdf5")) \
-            else "keras model"
-        print(f"exported {args.checkpoint} -> {path} ({fmt})")
+    desc = export_weights(args.checkpoint, args.preset, args.out, args.naming)
+    print(f"exported {args.checkpoint} -> {desc}")
 
 
 if __name__ == "__main__":

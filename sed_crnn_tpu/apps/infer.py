@@ -286,6 +286,8 @@ def main(argv=None):
             if args.class_names
             else default_class_names(int(probs.shape[1]))
         )
+        if len(names) != int(probs.shape[1]):
+            p.error(f"{len(names)} class names for {probs.shape[1]} classes")
         text = format_event_list(events, names)
     else:
         payload = {

@@ -118,7 +118,15 @@ def serve_stream(
     from sed_crnn_tpu.ops.frontend import log_mel_from_frames
     from sed_crnn_tpu.utils.native import make_framer
 
+    from sed_crnn_tpu.apps.infer import _threshold_arg
+
     meta = artifact.meta
+    if int(meta.get("in_channels", 1)) != 1:
+        raise ValueError(
+            f"live serving is single-channel; the artifact was exported with "
+            f"in_channels={meta['in_channels']} — serve binaural recordings "
+            f"offline with sedtpu-infer --artifact"
+        )
     fcfg = FrontendConfig(**meta["frontend"])
     if log_floor:
         fcfg = dataclasses.replace(fcfg, log_floor=float(log_floor))
@@ -127,7 +135,10 @@ def serve_stream(
     pool = chunk_frames // int(meta["seq_len_out"])
     out_hop_s = fcfg.hop_length * pool / fcfg.sample_rate
     if threshold is None:
-        threshold = meta.get("default_threshold") or 0.5
+        threshold = meta.get("default_threshold")
+        if threshold is None:
+            threshold = 0.5
+    threshold = _threshold_arg(threshold, n_classes)
 
     framer = make_framer(fcfg.n_fft, fcfg.hop_length, fcfg.center)
     decoder = OnlineEventDecoder(n_classes, out_hop_s, threshold)
@@ -135,22 +146,26 @@ def serve_stream(
     buf = np.empty((0, fcfg.n_mels), np.float32)
     n_out = n_events = chunk_i = 0
 
+    def run_chunk(chunk, keep_frames):
+        nonlocal carry, n_out, n_events, chunk_i
+        carry, probs = artifact.stream_step(carry, chunk)
+        probs = np.asarray(probs)[:keep_frames]
+        n_out += probs.shape[0]
+        if emit_probs and probs.shape[0]:
+            emit({"type": "probs", "chunk": chunk_i,
+                  "probs": np.round(probs, 5).tolist()})
+        if emit_events:
+            for s, e, c in decoder.push(probs):
+                n_events += 1
+                emit({"type": "event", "start_s": round(s, 3),
+                      "end_s": round(e, 3), "class": c})
+        chunk_i += 1
+
     def step_ready():
-        nonlocal buf, carry, n_out, n_events, chunk_i
+        nonlocal buf
         while buf.shape[0] >= chunk_frames:
-            carry, probs = artifact.stream_step(carry, buf[:chunk_frames])
+            run_chunk(buf[:chunk_frames], chunk_frames // pool)
             buf = buf[chunk_frames:]
-            probs = np.asarray(probs)
-            n_out += probs.shape[0]
-            if emit_probs:
-                emit({"type": "probs", "chunk": chunk_i,
-                      "probs": np.round(probs, 5).tolist()})
-            if emit_events:
-                for s, e, c in decoder.push(probs):
-                    n_events += 1
-                    emit({"type": "event", "start_s": round(s, 3),
-                          "end_s": round(e, 3), "class": c})
-            chunk_i += 1
 
     for pcm in pcm_chunks:
         frames = framer.feed(pcm)
@@ -159,16 +174,19 @@ def serve_stream(
                 [buf, np.asarray(log_mel_from_frames(frames, fcfg))], axis=0
             )
         step_ready()
-    # End of stream: the framer's right-pad tail frames, then any still-open
-    # events (their offset is the stream end). The final ragged partial
-    # chunk (< seq_len_in frames) is dropped, exactly as the offline
-    # artifact.stream trims.
+    # End of stream: the framer's right-pad tail frames, then the final
+    # ragged chunk — zero-padded to a full chunk and trimmed to its true
+    # output frames, exactly as the offline artifact.stream pads-and-trims —
+    # then any still-open events (their offset is the stream end).
     frames = framer.flush()
     if frames.shape[0]:
         buf = np.concatenate(
             [buf, np.asarray(log_mel_from_frames(frames, fcfg))], axis=0
         )
     step_ready()
+    if buf.shape[0] >= pool:
+        tail = np.pad(buf, ((0, chunk_frames - buf.shape[0]), (0, 0)))
+        run_chunk(tail, buf.shape[0] // pool)
     if emit_events:
         for s, e, c in decoder.finish():
             n_events += 1

@@ -80,30 +80,42 @@ def write_event_list(
 
 
 def _parse_row(cells: List[str], lineno: int, path: str) -> EventRow:
-    """Locate the (onset, offset) float pair; everything before it that is
-    not a scene label is the filename, the cell after it is the label.
+    """Column count decides the layout (so numeric filenames or labels can
+    never shift the time columns):
 
-    Handles: ``onset offset``, ``onset offset label``,
-    ``file onset offset label`` and the TUT meta form
-    ``file scene onset offset label [...extras]``."""
-    floats = []
-    for i, c in enumerate(cells):
+    * 2 cells — ``onset offset``
+    * 3 cells — ``onset offset label``
+    * 4 cells — ``file onset offset label`` (the cross-file interchange
+      form; falls back to ``onset offset label extra`` only when cells 1-2
+      are not a valid time pair)
+    * 5+ cells — the TUT/DCASE meta form ``file [scene] onset offset label
+      [...extras]``: the first valid time pair at index >= 1
+    """
+    def f(i):
         try:
-            float(c)
-            floats.append(i)
-        except ValueError:
-            pass
-    pair = next(
-        (i for i in floats if i + 1 in floats and
-         float(cells[i]) <= float(cells[i + 1])),
-        None,
-    )
+            return float(cells[i])
+        except (ValueError, IndexError):
+            return None
+
+    def is_pair(i):
+        a, b = f(i), f(i + 1)
+        return a is not None and b is not None and a <= b
+
+    n = len(cells)
+    if n in (2, 3):
+        pair = 0 if is_pair(0) else None
+    elif n == 4:
+        pair = 1 if is_pair(1) else (0 if is_pair(0) else None)
+    else:
+        pair = next((i for i in range(1, n - 1) if is_pair(i)), None)
+        if pair is None and is_pair(0):
+            pair = 0
     if pair is None:
         raise ValueError(
             f"{path}:{lineno}: no onset/offset column pair in {cells!r}"
         )
     onset, offset = float(cells[pair]), float(cells[pair + 1])
-    label = cells[pair + 2] if pair + 2 < len(cells) else "0"
+    label = cells[pair + 2] if pair + 2 < n else "0"
     fname = cells[0] if pair > 0 else None
     return fname, onset, offset, label
 

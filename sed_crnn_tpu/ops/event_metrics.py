@@ -177,13 +177,17 @@ def event_scores(
 
     deletions = len(un_ref) - subs
     insertions = len(un_sys) - subs
+    return _scores_from_counts(tp, subs, deletions, insertions, n_ref, n_sys)
 
+
+def _scores_from_counts(
+    tp: int, subs: int, deletions: int, insertions: int, n_ref: int, n_sys: int
+) -> Dict[str, float]:
     eps = np.finfo(np.float64).eps
     prec = tp / (n_sys + eps)
     rec = tp / (n_ref + eps)
     f1 = 2 * prec * rec / (prec + rec + eps)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        er = (subs + deletions + insertions) / n_ref if n_ref else float("nan")
+    er = (subs + deletions + insertions) / n_ref if n_ref else float("nan")
     return {
         "f1_event": float(f1),
         "er_event": float(er),
@@ -228,29 +232,14 @@ def aggregate_event_scores(per_file: Sequence[Dict[str, float]]) -> Dict[str, fl
     """Micro-average event scores across files: sum the intermediate counts
     (matches are never allowed across file boundaries — sed_eval's
     cross-file aggregation), then recompute F1/ER from the totals."""
-    tp = sum(s["tp"] for s in per_file)
-    subs = sum(s["substitutions"] for s in per_file)
-    dels = sum(s["deletions"] for s in per_file)
-    ins = sum(s["insertions"] for s in per_file)
-    n_ref = sum(s["n_ref"] for s in per_file)
-    n_sys = sum(s["n_sys"] for s in per_file)
-    eps = np.finfo(np.float64).eps
-    prec = tp / (n_sys + eps)
-    rec = tp / (n_ref + eps)
-    f1 = 2 * prec * rec / (prec + rec + eps)
-    er = (subs + dels + ins) / n_ref if n_ref else float("nan")
-    return {
-        "f1_event": float(f1),
-        "er_event": float(er),
-        "precision": float(prec),
-        "recall": float(rec),
-        "tp": tp,
-        "substitutions": subs,
-        "deletions": dels,
-        "insertions": ins,
-        "n_ref": n_ref,
-        "n_sys": n_sys,
-    }
+    return _scores_from_counts(
+        sum(s["tp"] for s in per_file),
+        sum(s["substitutions"] for s in per_file),
+        sum(s["deletions"] for s in per_file),
+        sum(s["insertions"] for s in per_file),
+        sum(s["n_ref"] for s in per_file),
+        sum(s["n_sys"] for s in per_file),
+    )
 
 
 def event_scores_from_rolls(

@@ -64,6 +64,15 @@ def test_read_two_column_and_whitespace(tmp_path):
     assert rows == [(None, 0.5, 1.5, "0"), (None, 2.0, 2.5, "3")]
 
 
+def test_read_numeric_filename_four_column(tmp_path):
+    """A purely numeric file ID must not be mistaken for the onset."""
+    p = tmp_path / "ids.txt"
+    p.write_text("0\t1.0\t2.0\tcar\n7\t0.5\t0.9\thit\n")
+    assert read_event_list(str(p)) == [
+        ("0", 1.0, 2.0, "car"), ("7", 0.5, 0.9, "hit"),
+    ]
+
+
 def test_read_rejects_rows_without_times(tmp_path):
     p = tmp_path / "bad.txt"
     p.write_text("a.wav\tcar\n")

@@ -109,8 +109,11 @@ def test_serve_stream_matches_offline_artifact(rng):
     _, params, state = _init(cfg)
     art = export_serving(cfg, params, state, platforms=("cpu",))
 
-    sr = cfg.frontend.sample_rate
-    pcm = (0.1 * rng.standard_normal(sr * 3)).astype(np.float32)
+    hop = cfg.frontend.hop_length
+    # length chosen so the final ragged chunk carries >= pool frames — the
+    # live path must pad-and-trim it exactly like artifact.stream (8 full
+    # 16-frame chunks + a 10-frame tail -> one extra output frame)
+    pcm = (0.1 * rng.standard_normal(hop * 137)).astype(np.float32)
 
     lines = []
     n_out, n_events = serve_stream(
@@ -127,9 +130,9 @@ def test_serve_stream_matches_offline_artifact(rng):
     fcfg = dataclasses.replace(cfg.frontend, log_floor=1e-10)
     mel_off = frontend_ops.extract(pcm, fcfg)
     probs_off = art.stream(mel_off)
-    n = min(len(live), len(probs_off))
-    assert n > 0
-    np.testing.assert_allclose(live[:n], probs_off[:n], rtol=0, atol=1e-4)
+    assert mel_off.shape[0] % cfg.model.seq_len_in != 0  # tail chunk exists
+    assert len(live) == len(probs_off)  # including the padded tail's frames
+    np.testing.assert_allclose(live, probs_off, rtol=0, atol=1e-4)
 
     # the emitted events are the threshold decode of the emitted probs
     closed = [
@@ -139,7 +142,7 @@ def test_serve_stream_matches_offline_artifact(rng):
     ]
     hop_s = cfg.frontend.hop_length * (
         cfg.model.seq_len_in // cfg.model.seq_len_out
-    ) / sr
+    ) / cfg.frontend.sample_rate
     want = [
         (round(s, 3), round(e, 3), c)
         for s, e, c in events_from_roll(live, hop_s, 0.5)
@@ -147,6 +150,23 @@ def test_serve_stream_matches_offline_artifact(rng):
     open_ends = {w for w in want if np.isclose(w[1], len(live) * hop_s, atol=2e-3)}
     assert set(closed) == set(want) - open_ends
     assert n_events == len(want)
+
+
+def test_serve_rejects_binaural_artifact(rng):
+    cfg = _tiny_cfg(in_channels=2, n_mels=8)
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    with pytest.raises(ValueError, match="single-channel"):
+        serve_stream(art, iter([]), lambda _: None)
+
+
+def test_serve_validates_threshold_count(rng):
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    with pytest.raises(ValueError, match="thresholds for"):
+        serve_stream(art, iter([]), lambda _: None,
+                     threshold=np.asarray([0.2, 0.3], np.float32))
 
 
 def test_serve_cli_wav_end_to_end(tmp_path, rng):
