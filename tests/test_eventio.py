@@ -154,3 +154,37 @@ def test_score_events_cli(tmp_path):
 
 def test_format_event_list_empty():
     assert format_event_list([]) == ""
+
+
+# ---------------- property-based round trips ----------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_labels = st.sampled_from(["car", "hit", "people walking", "0", "x y"])
+_events = st.lists(
+    st.tuples(
+        st.floats(0, 1000, allow_nan=False, width=32),
+        st.floats(0, 1000, allow_nan=False, width=32),
+        _labels,
+    ).map(lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2])),
+    max_size=20,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(events=_events, fname=st.none() | st.sampled_from(["a.wav", "7", "0.5"]))
+def test_event_list_roundtrip_property(tmp_path_factory, events, fname):
+    """format -> parse returns the same rows (times at the 1e-6 write
+    precision), for every filename shape including purely numeric ones."""
+    path = str(tmp_path_factory.mktemp("ev") / "events.txt")
+    write_event_list(path, events, filename=fname)
+    rows = read_event_list(path)
+    want = sorted(
+        (round(float(s), 6), round(float(e), 6), c) for s, e, c in events
+    )
+    assert len(rows) == len(events)
+    for (f, onset, offset, label), (s, e, c) in zip(rows, want):
+        assert f == fname
+        assert onset == pytest.approx(s, abs=1e-6)
+        assert offset == pytest.approx(e, abs=1e-6)
+        assert label == c
