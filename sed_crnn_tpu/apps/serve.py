@@ -109,9 +109,15 @@ def serve_stream(
     log_floor: float = 1e-10,
     emit_probs: bool = False,
     emit_events: bool = True,
+    lookahead: bool = False,
 ):
     """Drive the live chain; calls ``emit(dict)`` per output line. Returns
-    ``(n_output_frames, n_events)``."""
+    ``(n_output_frames, n_events)``.
+
+    ``lookahead=True`` holds each chunk until its successor arrives and
+    runs the artifact's pair steps instead — bounded bidirectional right
+    context at one extra chunk of latency, reproducing the offline
+    ``artifact.stream(lookahead=True)`` output."""
     import dataclasses
 
     from sed_crnn_tpu.core.config import FrontendConfig
@@ -146,9 +152,16 @@ def serve_stream(
     buf = np.empty((0, fcfg.n_mels), np.float32)
     n_out = n_events = chunk_i = 0
 
-    def run_chunk(chunk, keep_frames):
+    pending = None  # lookahead: the chunk awaiting its right context
+
+    def run_chunk(chunk, keep_frames, right=None):
         nonlocal carry, n_out, n_events, chunk_i
-        carry, probs = artifact.stream_step(carry, chunk)
+        if right is None:
+            carry, probs = artifact.stream_step(carry, chunk)
+        else:
+            carry, probs = artifact.stream_step_lookahead(
+                carry, np.concatenate([chunk, right], axis=0)
+            )
         probs = np.asarray(probs)[:keep_frames]
         n_out += probs.shape[0]
         if emit_probs and probs.shape[0]:
@@ -161,10 +174,19 @@ def serve_stream(
                       "end_s": round(e, 3), "class": c})
         chunk_i += 1
 
+    def consume(chunk, keep_frames):
+        nonlocal pending
+        if not lookahead:
+            run_chunk(chunk, keep_frames)
+        else:
+            if pending is not None:
+                run_chunk(pending[0], pending[1], right=chunk)
+            pending = (chunk, keep_frames)
+
     def step_ready():
         nonlocal buf
         while buf.shape[0] >= chunk_frames:
-            run_chunk(buf[:chunk_frames], chunk_frames // pool)
+            consume(buf[:chunk_frames], chunk_frames // pool)
             buf = buf[chunk_frames:]
 
     for pcm in pcm_chunks:
@@ -184,9 +206,15 @@ def serve_stream(
             [buf, np.asarray(log_mel_from_frames(frames, fcfg))], axis=0
         )
     step_ready()
-    if buf.shape[0] >= pool:
+    # A ragged tail with < pool frames emits nothing itself, but under
+    # lookahead it is still the held chunk's real right context — exactly
+    # what offline padding provides — so form it whenever any frames remain.
+    if buf.shape[0] >= (1 if lookahead else pool):
         tail = np.pad(buf, ((0, chunk_frames - buf.shape[0]), (0, 0)))
-        run_chunk(tail, buf.shape[0] // pool)
+        consume(tail, buf.shape[0] // pool)
+    if lookahead and pending is not None:
+        run_chunk(pending[0], pending[1], right=np.zeros_like(pending[0]))
+        pending = None
     if emit_events:
         for s, e, c in decoder.finish():
             n_events += 1
@@ -208,6 +236,11 @@ def main(argv=None):
                         "artifact's baked-in operating points, else 0.5)")
     p.add_argument("--emit", choices=("events", "probs", "both"),
                    default="events")
+    p.add_argument(
+        "--lookahead", action="store_true",
+        help="hold each chunk one chunk for bounded bidirectional right "
+             "context (better boundaries, +seq_len_in frames of latency)",
+    )
     p.add_argument("--class-names",
                    help="comma-separated labels added to event lines")
     p.add_argument("--log-floor", type=float, default=1e-10)
@@ -250,6 +283,7 @@ def main(argv=None):
         art, chunks, emit, threshold, args.log_floor,
         emit_probs=args.emit in ("probs", "both"),
         emit_events=args.emit in ("events", "both"),
+        lookahead=args.lookahead,
     )
     emit({"type": "summary", "n_output_frames": n_out, "n_events": n_events})
     if args.out:

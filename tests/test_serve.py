@@ -152,6 +152,34 @@ def test_serve_stream_matches_offline_artifact(rng):
     assert n_events == len(want)
 
 
+def test_serve_stream_lookahead_matches_offline(rng):
+    """Live pair-stepping (one chunk of latency) must reproduce the
+    offline lookahead stream, including the held-back final chunk and a
+    sub-pool ragged tail acting as real right context."""
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+
+    hop = cfg.frontend.hop_length
+    for n_samples in (hop * 137, hop * 130):  # tails of 10 and 3 frames
+        pcm = (0.1 * rng.standard_normal(n_samples)).astype(np.float32)
+        lines = []
+        n_out, _ = serve_stream(
+            art, _random_packets(pcm, rng), lines.append,
+            threshold=0.5, emit_probs=True, lookahead=True,
+        )
+        live = np.concatenate(
+            [np.asarray(l["probs"]) for l in lines if l["type"] == "probs"],
+            axis=0,
+        )
+        import dataclasses
+
+        fcfg = dataclasses.replace(cfg.frontend, log_floor=1e-10)
+        probs_off = art.stream(frontend_ops.extract(pcm, fcfg), lookahead=True)
+        assert live.shape[0] == n_out == len(probs_off)
+        np.testing.assert_allclose(live, probs_off, rtol=0, atol=1e-4)
+
+
 def test_serve_rejects_binaural_artifact(rng):
     cfg = _tiny_cfg(in_channels=2, n_mels=8)
     _, params, state = _init(cfg)
