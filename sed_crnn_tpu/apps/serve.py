@@ -18,6 +18,12 @@ in `tests/test_export.py::test_realtime_chain_matches_offline` and
   ffmpeg -i rtsp://cam -f f32le -ac 1 -ar 44100 - | \
       sedtpu-serve --artifact model.sedart --pcm f32le
   sedtpu-serve --artifact model.sedart --wav recording.wav
+  sedtpu-serve --artifact model.sedart --pcm s16le --listen 7700  # TCP
+
+``--listen PORT`` accepts TCP connections on localhost instead of reading
+stdin: each connection streams PCM in and receives its own JSON lines
+back on the same socket (one connection served at a time, fresh model
+state per connection; loop with --connections N or 0 = forever).
 """
 
 from __future__ import annotations
@@ -231,6 +237,15 @@ def main(argv=None):
                      help="read raw mono PCM of this format from stdin "
                           "(sample rate must match the artifact's frontend)")
     src.add_argument("--wav", help="serve a wav file through the live chain")
+    p.add_argument("--listen", type=int, metavar="PORT",
+                   help="with --pcm: accept TCP connections on "
+                        "localhost:PORT instead of reading stdin; JSON "
+                        "lines return on the socket")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --listen")
+    p.add_argument("--connections", type=int, default=1,
+                   help="with --listen: serve N connections then exit "
+                        "(0 = forever)")
     p.add_argument("--threshold", type=float, nargs="+", default=None,
                    help="one global value or one per class (default: the "
                         "artifact's baked-in operating points, else 0.5)")
@@ -265,27 +280,59 @@ def main(argv=None):
             else np.asarray(args.threshold, np.float32)
         )
 
+    def make_emit(sink):
+        def emit(obj):
+            if obj.get("type") == "event":
+                obj = {**obj, "label": names[obj["class"]]}
+            sink.write(json.dumps(obj) + "\n")
+            sink.flush()
+        return emit
+
+    def run_one(chunks, emit):
+        n_out, n_events = serve_stream(
+            art, chunks, emit, threshold, args.log_floor,
+            emit_probs=args.emit in ("probs", "both"),
+            emit_events=args.emit in ("events", "both"),
+            lookahead=args.lookahead,
+        )
+        emit({"type": "summary", "n_output_frames": n_out,
+              "n_events": n_events})
+
+    if args.listen is not None:
+        if not args.pcm:
+            p.error("--listen requires --pcm FORMAT (raw PCM over TCP)")
+        import socket
+
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((args.host, args.listen))
+        srv.listen(1)
+        print(f"listening on {args.host}:{srv.getsockname()[1]}",
+              file=sys.stderr, flush=True)
+        served = 0
+        try:
+            while args.connections == 0 or served < args.connections:
+                conn, addr = srv.accept()
+                with conn:
+                    rf = conn.makefile("rb")
+                    wf = conn.makefile("w")
+                    # fresh carry/decoder per connection: each client is
+                    # its own independent stream
+                    run_one(pcm_chunks_from_stream(rf, args.pcm),
+                            make_emit(wf))
+                    wf.flush()
+                served += 1
+        finally:
+            srv.close()
+        return
+
     sink = open(args.out, "a") if args.out else sys.stdout
-
-    def emit(obj):
-        if obj.get("type") == "event":
-            obj = {**obj, "label": names[obj["class"]]}
-        sink.write(json.dumps(obj) + "\n")
-        sink.flush()
-
     if args.wav:
         sr = int(art.meta["frontend"]["sample_rate"])
         chunks = pcm_chunks_from_wav(args.wav, sr)
     else:
         chunks = pcm_chunks_from_stream(sys.stdin.buffer, args.pcm)
-
-    n_out, n_events = serve_stream(
-        art, chunks, emit, threshold, args.log_floor,
-        emit_probs=args.emit in ("probs", "both"),
-        emit_events=args.emit in ("events", "both"),
-        lookahead=args.lookahead,
-    )
-    emit({"type": "summary", "n_output_frames": n_out, "n_events": n_events})
+    run_one(chunks, make_emit(sink))
     if args.out:
         sink.close()
 

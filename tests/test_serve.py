@@ -224,3 +224,60 @@ def test_serve_cli_wav_end_to_end(tmp_path, rng):
     for l in lines:
         if l["type"] == "event":
             assert l["label"] == "hit"  # 1-class default vocabulary
+
+
+def test_serve_cli_tcp_listen(tmp_path, rng):
+    """--listen serves PCM over a localhost TCP connection: bytes in,
+    JSON lines back on the same socket."""
+    import socket
+    import threading
+    import time
+
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    art_path = str(tmp_path / "model.sedart")
+    art.save(art_path)
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    t = threading.Thread(
+        target=serve_main,
+        args=([
+            "--artifact", art_path, "--pcm", "f32le", "--listen", str(port),
+            "--connections", "1", "--emit", "both", "--threshold", "0.5",
+        ],),
+        daemon=True,
+    )
+    t.start()
+
+    sr = cfg.frontend.sample_rate
+    pcm = (0.1 * rng.standard_normal(sr)).astype(np.float32)
+    s = None
+    for _ in range(200):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=0.5)
+            break
+        except OSError:
+            time.sleep(0.05)
+    assert s is not None, "server never started listening"
+    s.settimeout(120)  # create_connection's 0.5 s would also govern recv
+    s.sendall(pcm.tobytes())
+    s.shutdown(socket.SHUT_WR)
+    data = b""
+    while True:
+        chunk = s.recv(65536)
+        if not chunk:
+            break
+        data += chunk
+    s.close()
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+    lines = [json.loads(l) for l in data.decode().splitlines()]
+    kinds = [l["type"] for l in lines]
+    assert kinds[-1] == "summary" and "probs" in kinds
+    assert lines[-1]["n_output_frames"] > 0
