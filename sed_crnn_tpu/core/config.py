@@ -266,6 +266,11 @@ PRESETS = {
     "timepooled-v2": _timepooled_v2,
     "sednet-dcase": _sednet_dcase,
     "sednet-dcase-binaural": lambda: _sednet_dcase(in_channels=2),
+    # The reference diagram's third input contract, bin-mul-mbe (256x40x6):
+    # six stacked 40-band feature maps per frame
+    # (/root/reference/images/CRNN_SED_DCASE2017_task3.jpg, README.md:29-31).
+    # The model/zoo path is channel-generic; this preset pins the shape.
+    "sednet-dcase-binmul": lambda: _sednet_dcase(in_channels=6),
     # Exact keras-2.2.4 cell numerics (hard_sigmoid recurrent gates) — the
     # right preset for checkpoints imported from the keras SEDnet lineage
     # via models/transplant.py::load_keras_checkpoint.

@@ -133,6 +133,13 @@ def test_sednet_shapes_and_grad():
     logits_b, _, _ = bin_model.apply(bp, bs, xb, Ctx(train=False))
     assert logits_b.shape == (2, 256, 6)
 
+    # bin-mul-mbe (256x40x6), the diagram's third input contract
+    mul_model = get_model("sednet-dcase-binmul")
+    mp, ms = mul_model.init(jax.random.PRNGKey(2))
+    xm = jnp.ones((2, 6, 256, 40))
+    logits_m, _, _ = mul_model.apply(mp, ms, xm, Ctx(train=False))
+    assert logits_m.shape == (2, 256, 6)
+
     def loss_fn(p):
         out, _, _ = model.apply(p, state, x, Ctx(train=False))
         return jnp.mean(out**2)
