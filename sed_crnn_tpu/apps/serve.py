@@ -317,10 +317,15 @@ def main(argv=None):
                     rf = conn.makefile("rb")
                     wf = conn.makefile("w")
                     # fresh carry/decoder per connection: each client is
-                    # its own independent stream
-                    run_one(pcm_chunks_from_stream(rf, args.pcm),
-                            make_emit(wf))
-                    wf.flush()
+                    # its own independent stream; a client that resets
+                    # mid-stream must not take the daemon down with it
+                    try:
+                        run_one(pcm_chunks_from_stream(rf, args.pcm),
+                                make_emit(wf))
+                        wf.flush()
+                    except (ConnectionError, OSError) as e:
+                        print(f"connection from {addr} dropped: {e!r}",
+                              file=sys.stderr, flush=True)
                 served += 1
         finally:
             srv.close()

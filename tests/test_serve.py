@@ -281,3 +281,71 @@ def test_serve_cli_tcp_listen(tmp_path, rng):
     kinds = [l["type"] for l in lines]
     assert kinds[-1] == "summary" and "probs" in kinds
     assert lines[-1]["n_output_frames"] > 0
+
+
+def test_serve_tcp_survives_client_reset(tmp_path, rng):
+    """A client that aborts mid-stream (TCP RST) must not take the daemon
+    down: the next connection is served normally."""
+    import socket
+    import struct
+    import threading
+    import time
+
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    art_path = str(tmp_path / "model.sedart")
+    art.save(art_path)
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    t = threading.Thread(
+        target=serve_main,
+        args=([
+            "--artifact", art_path, "--pcm", "f32le", "--listen", str(port),
+            "--connections", "2", "--threshold", "0.5",
+        ],),
+        daemon=True,
+    )
+    t.start()
+
+    def connect():
+        for _ in range(200):
+            try:
+                return socket.create_connection(("127.0.0.1", port),
+                                                timeout=0.5)
+            except OSError:
+                time.sleep(0.05)
+        raise AssertionError("server never started listening")
+
+    sr = cfg.frontend.sample_rate
+    pcm = (0.1 * rng.standard_normal(sr)).astype(np.float32)
+
+    # Connection 1: send a few bytes, then abort with RST (SO_LINGER 0).
+    s1 = connect()
+    s1.sendall(pcm[:1000].tobytes())
+    s1.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                  struct.pack("ii", 1, 0))
+    s1.close()
+
+    # Connection 2: the normal flow still completes.
+    s2 = connect()
+    s2.settimeout(120)
+    s2.sendall(pcm.tobytes())
+    s2.shutdown(socket.SHUT_WR)
+    data = b""
+    while True:
+        chunk = s2.recv(65536)
+        if not chunk:
+            break
+        data += chunk
+    s2.close()
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+    lines = [json.loads(l) for l in data.decode().splitlines()]
+    assert lines and lines[-1]["type"] == "summary"
+    assert lines[-1]["n_output_frames"] > 0
