@@ -85,6 +85,14 @@ def main(argv=None):
     p.add_argument("--seed-parallel", type=int, default=0, metavar="N",
                    help="with --runs: shard the seed axis over N devices "
                         "(runs must divide evenly)")
+    p.add_argument("--runs-mode", choices=("stacked", "sequential"),
+                   default="stacked",
+                   help="with --runs: 'stacked' trains all repetitions as "
+                        "one vmapped program (best for small models and "
+                        "multi-chip meshes); 'sequential' runs them one at "
+                        "a time (faster for conv-128 models on one chip — "
+                        "stacking pushes the conv batch past the BatchNorm "
+                        "fusion-split point)")
     p.add_argument("--slow-prng", action="store_true",
                    help="keep jax's default threefry PRNG (default: TPU-native rbg)")
     args = p.parse_args(argv)
@@ -158,12 +166,16 @@ def main(argv=None):
                     "(the seed axis is the cheaper multi-chip axis here)")
         mesh = None
         if args.seed_parallel:
+            if args.runs_mode == "sequential":
+                p.error("--seed-parallel shards the stacked seed axis; it "
+                        "does not compose with --runs-mode sequential")
             from sed_crnn_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(args.seed_parallel, axis_name="seed")
             print(f"seed-parallel over {args.seed_parallel} devices")
         multiseed.run_experiment_multiseed(
-            cfg, folds, art_root, n_runs=args.runs, mesh=mesh
+            cfg, folds, art_root, n_runs=args.runs, mesh=mesh,
+            mode=args.runs_mode,
         )
         return
 

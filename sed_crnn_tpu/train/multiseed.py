@@ -38,6 +38,7 @@ on any non-degenerate task. Exact-chain RNG equality is unaffected.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from functools import lru_cache
@@ -127,6 +128,22 @@ class MultiSeedTrainer(Trainer):
 
     def __init__(self, model, tcfg, train_sampler, val_sampler, n_seeds: int,
                  mesh=None):
+        # The Pallas GRU recurrence keeps full-sequence residuals VMEM-
+        # resident (ops/pallas/gru_scan.py); at the flagship shape its
+        # backward already sits near the VMEM ceiling, and vmapping over a
+        # seed axis turns the pallas_call into a grid whose double-buffered
+        # per-seed windows (4 x 32 MB at B=128 T=256 H=32) exceed scoped
+        # VMEM — XLA aborts at compile. Stacked training therefore always
+        # runs the lax.scan recurrence (identical math; the kernel's win is
+        # ~1.6 ms/step on the flagship, small against the stacked program).
+        backend = getattr(model.cfg, "gru_backend", "auto")
+        resolves_pallas = backend == "pallas" or (
+            backend == "auto"
+            and model.seq_len_out >= 64
+            and jax.default_backend() == "tpu"
+        )
+        if resolves_pallas:
+            model = get_model(dataclasses.replace(model.cfg, gru_backend="xla"))
         super().__init__(model, tcfg, train_sampler, val_sampler)
         if mesh is not None:
             n_dev = int(np.prod(list(mesh.shape.values())))
@@ -465,21 +482,49 @@ def run_experiment_multiseed(
     mesh=None,
     verbose: bool = True,
     share_compile: bool = True,
+    mode: str = "stacked",
 ) -> Dict[str, Any]:
     """The reference's full evaluation protocol (`README.md:62-64`): the
     k-fold experiment repeated over N seeds, reported as the mean (and std)
-    over seeds of the cross-fold-average ER/F1 — with all N repetitions of
-    each fold trained as one stacked program."""
+    over seeds of the cross-fold-average ER/F1.
+
+    ``mode="stacked"`` trains all N repetitions of a fold as one vmapped
+    program — the right shape for small models (the chip is otherwise
+    underutilized) and for meshes (seed axis sharded, zero collectives).
+    ``mode="sequential"`` runs the seeds one at a time through ``run_fold``
+    (identical artifact layout, seeds still share the compiled epoch
+    program) — on a SINGLE chip this is the faster choice for the conv-128
+    models: stacking multiplies the effective conv batch, and past B~256
+    XLA splits the BatchNorm passes out of the conv fusions into standalone
+    HBM loops (measured: 4 stacked v1 seeds at 0.63x the aggregate rate of
+    4 sequential runs — scripts/hw_batch_r3.py multiseed_check)."""
+    if mode not in ("stacked", "sequential"):
+        raise ValueError(f"mode must be 'stacked' or 'sequential', got {mode!r}")
+    if mode == "sequential" and mesh is not None:
+        raise ValueError("mode='sequential' does not shard seeds; drop mesh")
     if seeds is None:
         seeds = run_seeds(cfg.train.seed, n_runs)
     seeds = list(seeds)
     plan = plan_folds(cfg, folds) if share_compile and len(folds) > 1 else None
     per_fold: Dict[int, List[FoldResult]] = {}
     for fold_id, fold_data in sorted(folds.items()):
-        per_fold[fold_id] = run_fold_multiseed(
-            cfg, fold_data, fold_id, os.path.join(art_dir, f"fold{fold_id}"),
-            seeds, mesh=mesh, verbose=verbose, plan=plan,
-        )
+        fold_dir = os.path.join(art_dir, f"fold{fold_id}")
+        if mode == "stacked":
+            per_fold[fold_id] = run_fold_multiseed(
+                cfg, fold_data, fold_id, fold_dir,
+                seeds, mesh=mesh, verbose=verbose, plan=plan,
+            )
+        else:
+            from sed_crnn_tpu.train.loop import run_fold
+
+            per_fold[fold_id] = [
+                run_fold(
+                    cfg, fold_data, fold_id,
+                    os.path.join(fold_dir, f"seed{s}"),
+                    seed=s, verbose=verbose, plan=plan,
+                )
+                for s in seeds
+            ]
     # seed-major: run j's cross-fold mean, then mean/std over runs
     er_by_seed = [
         float(np.mean([per_fold[f][j].best_er for f in per_fold]))

@@ -26,6 +26,26 @@ def _cfg(**train_overrides):
     return cfg.replace(train=cfg.train.__class__(**{**cfg.train.__dict__, **base}))
 
 
+def test_multiseed_forces_scan_gru_backend():
+    """Stacking must not inherit the Pallas GRU recurrence: its VMEM-resident
+    full-sequence residuals OOM once vmap adds a seed grid dimension
+    (observed on hardware at B=128 T=256 H=32 x 2 seeds). An explicitly
+    pallas-backed model is rebuilt onto the scan path."""
+    import dataclasses
+
+    from sed_crnn_tpu.models import get_model
+    from sed_crnn_tpu.train.loop import make_samplers
+
+    cfg = _cfg()
+    mcfg = dataclasses.replace(cfg.model, gru_backend="pallas")
+    fold = _synthetic_fold(np.random.default_rng(0), 2000)
+    ts, vs = make_samplers(cfg, fold)
+    trainer = multiseed.MultiSeedTrainer(
+        get_model(mcfg), cfg.train, ts, vs, n_seeds=2
+    )
+    assert trainer.model.cfg.gru_backend == "xla"
+
+
 def test_multiseed_matches_individual_runs(tmp_path, rng):
     """Each lane of the stacked program must reproduce run_fold(seed=s): the
     same RNG chain (exact — asserted on the checkpointed key carry), a
@@ -251,3 +271,32 @@ def test_experiment_multiseed_protocol(tmp_path, rng):
     for f in (1, 2):
         for s in out["seeds"]:
             assert (tmp_path / f"fold{f}" / f"seed{s}").is_dir()
+
+
+def test_experiment_multiseed_sequential_mode(tmp_path, rng):
+    """mode='sequential' (the single-chip choice for conv-128 models) runs
+    each seed through run_fold with the SAME artifact layout and RNG chains
+    as the stacked program, so results agree up to the documented
+    vmap-refusion rounding drift."""
+    cfg = _cfg(max_epochs=2)
+    folds = {1: _synthetic_fold(rng, 2500)}
+    seq = multiseed.run_experiment_multiseed(
+        cfg, folds, str(tmp_path / "seq"), n_runs=2, verbose=False,
+        mode="sequential",
+    )
+    stk = multiseed.run_experiment_multiseed(
+        cfg, folds, str(tmp_path / "stk"), n_runs=2, verbose=False,
+        mode="stacked",
+    )
+    assert seq["seeds"] == stk["seeds"]
+    for s in seq["seeds"]:
+        d = tmp_path / "seq" / "fold1" / f"seed{s}"
+        assert (d / "best_fold1.npz").exists()
+        assert (d / "train_fold1.jsonl").exists()
+    assert seq["mean_er"] == pytest.approx(stk["mean_er"], abs=0.15)
+
+    with pytest.raises(ValueError, match="stacked"):
+        multiseed.run_experiment_multiseed(
+            cfg, folds, str(tmp_path / "bad"), n_runs=2, verbose=False,
+            mode="nope",
+        )
