@@ -23,6 +23,7 @@ from sed_crnn_tpu.core.config import FrontendConfig
 from sed_crnn_tpu.data import catalog as catalog_mod
 from sed_crnn_tpu.data import store
 from sed_crnn_tpu.data.rasterize import rasterize_events
+from sed_crnn_tpu.data.resample import resample
 from sed_crnn_tpu.data.wavio import decode_audio, read_wav_multichannel
 from sed_crnn_tpu.ops import frontend
 from sed_crnn_tpu.train.artifacts import append_jsonl
@@ -117,7 +118,10 @@ def extract_dcase(
         if binaural:
             pcm, sr = read_wav_multichannel(path)
             if sr != fcfg.sample_rate:
-                raise ValueError(f"{fname}: sr {sr} != {fcfg.sample_rate}")
+                # Reference parity: ffmpeg's -ar accepted any input rate
+                # (`feature.py:41-49`); the native polyphase resampler keeps
+                # that contract without the binary, per channel along axis 0.
+                pcm = resample(pcm, sr, fcfg.sample_rate)
             chans = [frontend.extract(pcm[:, c], fcfg) for c in range(pcm.shape[1])]
             mbe = np.concatenate(chans, axis=1)  # (frames, n_mels * nch)
         else:

@@ -59,6 +59,23 @@ def pcm_chunks_from_stream(stream, fmt: str = "f32le", chunk_bytes: int = 65536)
             yield np.frombuffer(data[:usable], "<i2").astype(np.float32) / 32768.0
 
 
+def resampled_chunks(chunks, sr_in: int, sr_out: int):
+    """Adapt a PCM chunk stream at ``sr_in`` to ``sr_out`` on the fly via the
+    carried-history polyphase resampler (`data/resample.py`) — lets 16 k/48 k
+    clients feed a 44.1 k artifact live. Seam-free: the concatenated output
+    equals offline resampling of the whole stream."""
+    from sed_crnn_tpu.data.resample import StreamingResampler
+
+    rs = StreamingResampler(sr_in, sr_out)
+    for chunk in chunks:
+        out = rs.push(chunk)
+        if out.size:
+            yield out
+    tail = rs.flush()
+    if tail.size:
+        yield tail
+
+
 def pcm_chunks_from_wav(path: str, sr: int, chunk_samples: int = 8192):
     from sed_crnn_tpu.data.wavio import decode_audio
 
@@ -235,7 +252,8 @@ def main(argv=None):
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--pcm", choices=("f32le", "s16le"),
                      help="read raw mono PCM of this format from stdin "
-                          "(sample rate must match the artifact's frontend)")
+                          "(at the artifact's frontend rate, or give "
+                          "--input-rate to resample live)")
     src.add_argument("--wav", help="serve a wav file through the live chain")
     p.add_argument("--listen", type=int, metavar="PORT",
                    help="with --pcm: accept TCP connections on "
@@ -251,6 +269,11 @@ def main(argv=None):
                         "artifact's baked-in operating points, else 0.5)")
     p.add_argument("--emit", choices=("events", "probs", "both"),
                    default="events")
+    p.add_argument(
+        "--input-rate", type=int, metavar="HZ",
+        help="with --pcm: the incoming stream's sample rate; resampled "
+             "live to the artifact's frontend rate when they differ",
+    )
     p.add_argument(
         "--lookahead", action="store_true",
         help="hold each chunk one chunk for bounded bidirectional right "
@@ -288,6 +311,16 @@ def main(argv=None):
             sink.flush()
         return emit
 
+    art_sr = int(art.meta["frontend"]["sample_rate"])
+    if args.input_rate is not None and not args.pcm:
+        p.error("--input-rate applies to --pcm streams; wav files carry "
+                "their own rate and are resampled automatically")
+
+    def adapt_rate(chunks):
+        if args.input_rate is None or args.input_rate == art_sr:
+            return chunks
+        return resampled_chunks(chunks, args.input_rate, art_sr)
+
     def run_one(chunks, emit):
         n_out, n_events = serve_stream(
             art, chunks, emit, threshold, args.log_floor,
@@ -320,7 +353,7 @@ def main(argv=None):
                     # its own independent stream; a client that resets
                     # mid-stream must not take the daemon down with it
                     try:
-                        run_one(pcm_chunks_from_stream(rf, args.pcm),
+                        run_one(adapt_rate(pcm_chunks_from_stream(rf, args.pcm)),
                                 make_emit(wf))
                         wf.flush()
                     except (ConnectionError, OSError) as e:
@@ -333,10 +366,9 @@ def main(argv=None):
 
     sink = open(args.out, "a") if args.out else sys.stdout
     if args.wav:
-        sr = int(art.meta["frontend"]["sample_rate"])
-        chunks = pcm_chunks_from_wav(args.wav, sr)
+        chunks = pcm_chunks_from_wav(args.wav, art_sr)
     else:
-        chunks = pcm_chunks_from_stream(sys.stdin.buffer, args.pcm)
+        chunks = adapt_rate(pcm_chunks_from_stream(sys.stdin.buffer, args.pcm))
     run_one(chunks, make_emit(sink))
     if args.out:
         sink.close()

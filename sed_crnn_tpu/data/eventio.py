@@ -57,8 +57,13 @@ def format_event_list(
     string label) -> tab-separated text, sorted by onset then label.
     ``filename`` prefixes every row (the 4-column cross-file form)."""
     rows = []
+    # Sort by the values as WRITTEN (1e-6 precision), not the raw floats:
+    # times that collide at write precision must order consistently with the
+    # file's own content, or re-sorting consumers (sed_eval-style tooling)
+    # would see a different order than the writer intended.
     for onset, offset, cls in sorted(
-        events, key=lambda ev: (float(ev[0]), float(ev[1]), str(ev[2]))
+        events,
+        key=lambda ev: (round(float(ev[0]), 6), round(float(ev[1]), 6), str(ev[2])),
     ):
         cells = [f"{float(onset):.6f}", f"{float(offset):.6f}",
                  _label_of(cls, class_names)]

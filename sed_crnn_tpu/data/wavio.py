@@ -113,9 +113,12 @@ def ffmpeg_available() -> bool:
 def decode_audio(
     path: str, sr: int = 44100, mono: bool = True, channels: Optional[int] = None
 ) -> np.ndarray:
-    """Decode any container to float32 PCM at ``sr``. WAV files at the target
-    rate use the native reader; everything else pipes through ffmpeg
-    (f32le / -ac 1, the reference's `_ffmpeg_audio` contract) when present.
+    """Decode any container to float32 PCM at ``sr``. WAV files use the
+    native reader, with rate mismatches converted by the native polyphase
+    resampler (`data/resample.py` — same windowed-sinc family as ffmpeg's
+    swresample, which the reference used via ``-ar``, `feature.py:41-49`).
+    Non-WAV containers pipe through ffmpeg (f32le / -ac 1, the reference's
+    `_ffmpeg_audio` contract) when the binary exists.
 
     ``mono=False`` returns (n, ch); the ffmpeg fallback emits interleaved
     samples without channel metadata, so it requires ``channels`` to
@@ -124,11 +127,9 @@ def decode_audio(
         x, file_sr = read_wav(path, mono=mono)
         if file_sr == sr:
             return x
-        if not ffmpeg_available():
-            raise ValueError(
-                f"{path}: sample rate {file_sr} != {sr} and ffmpeg is unavailable "
-                "for resampling"
-            )
+        from sed_crnn_tpu.data.resample import resample
+
+        return resample(x, file_sr, sr)
     if not ffmpeg_available():
         raise RuntimeError(f"cannot decode {path}: ffmpeg not available")
     if not mono and channels is None:
