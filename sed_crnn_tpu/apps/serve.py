@@ -315,6 +315,12 @@ def main(argv=None):
     if args.input_rate is not None and not args.pcm:
         p.error("--input-rate applies to --pcm streams; wav files carry "
                 "their own rate and are resampled automatically")
+    # Validate at parse time: a zero/negative rate would otherwise raise
+    # lazily inside StreamingResampler at the first chunk — in --listen mode
+    # that ValueError escapes the per-connection (ConnectionError, OSError)
+    # handler and takes the keep-alive daemon down with it.
+    if args.input_rate is not None and args.input_rate <= 0:
+        p.error("--input-rate must be a positive Hz value")
 
     def adapt_rate(chunks):
         if args.input_rate is None or args.input_rate == art_sr:

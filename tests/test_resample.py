@@ -110,3 +110,62 @@ def test_decode_audio_resamples_wav_natively(tmp_path):
     spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
     peak_hz = np.argmax(spec) * 44100 / len(y)
     assert abs(peak_hz - f0) < 2.0
+
+# ---- streaming resampler: the live serving seam-free contract --------------
+
+
+STREAM_RATES = [(16000, 44100), (48000, 44100), (44100, 16000), (22050, 44100)]
+
+
+@pytest.mark.parametrize("sr_in,sr_out", STREAM_RATES)
+def test_streaming_matches_offline_random_chunks(rng, sr_in, sr_out):
+    """concat(push(c) for chunks) + flush() == resample_poly(concat(chunks))
+    bit-for-bit (both paths cast to float32 at the end), for arbitrary chunk
+    sizes including empty and single-sample pushes."""
+    from math import gcd
+
+    from sed_crnn_tpu.data.resample import StreamingResampler
+
+    x = rng.standard_normal(9000).astype(np.float32)
+    # adversarial chunking: empties, singles, and jagged sizes
+    sizes = [0, 1, 7, 0, 1, 513, 64, 1, 2048, 0, 300]
+    chunks, i = [], 0
+    while i < len(x):
+        for s in sizes:
+            chunks.append(x[i : i + s])
+            i += s
+            if i >= len(x):
+                break
+    rs = StreamingResampler(sr_in, sr_out)
+    outs = [rs.push(c) for c in chunks]
+    outs.append(rs.flush())
+    got = np.concatenate(outs)
+    g = gcd(sr_out, sr_in)
+    want = resample_poly(x, sr_out // g, sr_in // g)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_flush_resets_for_a_new_stream(rng):
+    from sed_crnn_tpu.data.resample import StreamingResampler
+
+    x = rng.standard_normal(3000).astype(np.float32)
+    rs = StreamingResampler(16000, 44100)
+    first = np.concatenate([rs.push(x), rs.flush()])
+    second = np.concatenate([rs.push(x), rs.flush()])
+    np.testing.assert_array_equal(first, second)
+
+
+def test_serve_resampled_chunks_matches_offline(rng):
+    """The serve.py adapter wraps StreamingResampler; its concatenated
+    output must equal offline resampling of the concatenated stream."""
+    from math import gcd
+
+    from sed_crnn_tpu.apps.serve import resampled_chunks
+
+    x = rng.standard_normal(5000).astype(np.float32)
+    chunks = [x[:1], x[1:1500], x[1500:1500], x[1500:4000], x[4000:]]
+    got = np.concatenate(list(resampled_chunks(iter(chunks), 48000, 44100)))
+    g = gcd(44100, 48000)
+    want = resample_poly(x, 44100 // g, 48000 // g)
+    np.testing.assert_array_equal(got, want)

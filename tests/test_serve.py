@@ -349,3 +349,18 @@ def test_serve_tcp_survives_client_reset(tmp_path, rng):
     lines = [json.loads(l) for l in data.decode().splitlines()]
     assert lines and lines[-1]["type"] == "summary"
     assert lines[-1]["n_output_frames"] > 0
+
+
+def test_serve_cli_rejects_nonpositive_input_rate(tmp_path, rng):
+    """--input-rate 0/-1 must fail at parse time (argparse error), not
+    lazily at the first chunk — in --listen mode the lazy ValueError would
+    crash the keep-alive daemon."""
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    art_path = str(tmp_path / "model.sedart")
+    art.save(art_path)
+    for bad in ("0", "-16000"):
+        with pytest.raises(SystemExit):
+            serve_main(["--artifact", art_path, "--pcm", "f32le",
+                        "--input-rate", bad])
