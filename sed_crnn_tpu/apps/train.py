@@ -64,7 +64,7 @@ def main(argv=None):
     p.add_argument("--preset", default="timepooled-v1",
                    help="timepooled-v1 | timepooled-v2 | sednet-dcase[-binaural]")
     p.add_argument("--cache-dir", help="feature cache dir with mbe_*_fold*.npz")
-    p.add_argument("--channel-tag", default="mon", help="mon | bin")
+    p.add_argument("--channel-tag", default="mon", help="mon | bin | binmul")
     p.add_argument("--art-dir", default="train_artifacts")
     p.add_argument("--folds", type=int, nargs="+", default=[1, 2, 3, 4])
     p.add_argument("--max-epochs", type=int, default=None)
@@ -85,14 +85,15 @@ def main(argv=None):
     p.add_argument("--seed-parallel", type=int, default=0, metavar="N",
                    help="with --runs: shard the seed axis over N devices "
                         "(runs must divide evenly)")
-    p.add_argument("--runs-mode", choices=("stacked", "sequential"),
-                   default="stacked",
+    p.add_argument("--runs-mode", choices=("auto", "stacked", "sequential"),
+                   default="auto",
                    help="with --runs: 'stacked' trains all repetitions as "
                         "one vmapped program (best for small models and "
                         "multi-chip meshes); 'sequential' runs them one at "
                         "a time (faster for conv-128 models on one chip — "
                         "stacking pushes the conv batch past the BatchNorm "
-                        "fusion-split point)")
+                        "fusion-split point). 'auto' (default) picks from "
+                        "that measurement; an explicit losing choice warns")
     p.add_argument("--slow-prng", action="store_true",
                    help="keep jax's default threefry PRNG (default: TPU-native rbg)")
     args = p.parse_args(argv)

@@ -473,6 +473,36 @@ def run_fold_multiseed(
     return results
 
 
+# Measured on the real chip (scripts/profile_batch_spill.py,
+# scripts/hw_batch_r3.py multiseed_check): past an effective conv batch of
+# ~256, XLA splits the BatchNorm passes out of the conv fusions into
+# standalone HBM loop fusions (~2.5 GB/step of new traffic on v1), and a
+# 4-seed stacked run drops to 0.60-0.63x the aggregate rate of sequential
+# runs. Below the split point stacking wins (one program, MXU otherwise
+# underutilized by small models).
+BN_FUSION_SPLIT_BATCH = 256
+_BIG_CONV_CHANNELS = 128  # the split was measured on conv-128 trunks
+
+
+def choose_runs_mode(cfg: ExperimentConfig, n_runs: int, mesh=None) -> str:
+    """Pick the faster multiseed execution mode from the measured BatchNorm
+    fusion-split point instead of making the user read a help string.
+
+    * a seed-sharded mesh divides the per-device stacked batch, and
+      sequential mode cannot use the mesh at all -> stacked;
+    * small conv trunks (< 128 channels) never hit the split -> stacked;
+    * conv-128 trunks whose stacked effective conv batch
+      (batch_size x n_runs) crosses ~256 on a single chip -> sequential.
+    """
+    if mesh is not None:
+        return "stacked"
+    if max(cfg.model.conv_channels) < _BIG_CONV_CHANNELS:
+        return "stacked"
+    if cfg.train.batch_size * n_runs >= BN_FUSION_SPLIT_BATCH:
+        return "sequential"
+    return "stacked"
+
+
 def run_experiment_multiseed(
     cfg: ExperimentConfig,
     folds: Dict[int, Dict[str, np.ndarray]],
@@ -482,7 +512,7 @@ def run_experiment_multiseed(
     mesh=None,
     verbose: bool = True,
     share_compile: bool = True,
-    mode: str = "stacked",
+    mode: str = "auto",
 ) -> Dict[str, Any]:
     """The reference's full evaluation protocol (`README.md:62-64`): the
     k-fold experiment repeated over N seeds, reported as the mean (and std)
@@ -497,9 +527,27 @@ def run_experiment_multiseed(
     models: stacking multiplies the effective conv batch, and past B~256
     XLA splits the BatchNorm passes out of the conv fusions into standalone
     HBM loops (measured: 4 stacked v1 seeds at 0.63x the aggregate rate of
-    4 sequential runs — scripts/hw_batch_r3.py multiseed_check)."""
-    if mode not in ("stacked", "sequential"):
-        raise ValueError(f"mode must be 'stacked' or 'sequential', got {mode!r}")
+    4 sequential runs — scripts/hw_batch_r3.py multiseed_check).
+    ``mode="auto"`` (the default) applies that measurement via
+    `choose_runs_mode`; an explicit mode that contradicts the prediction
+    runs as asked but warns."""
+    if mode not in ("auto", "stacked", "sequential"):
+        raise ValueError(
+            f"mode must be 'auto', 'stacked' or 'sequential', got {mode!r}"
+        )
+    predicted = choose_runs_mode(cfg, n_runs, mesh)
+    if mode == "auto":
+        mode = predicted
+        if verbose:
+            print(f"runs-mode auto -> {mode}")
+    elif mode != predicted and verbose:
+        print(
+            f"WARNING: --runs-mode {mode} is predicted SLOWER than "
+            f"{predicted!r} here (conv "
+            f"{max(cfg.model.conv_channels)}ch, stacked effective batch "
+            f"{cfg.train.batch_size * n_runs} vs the measured BatchNorm "
+            f"fusion-split point {BN_FUSION_SPLIT_BATCH}); proceeding as asked"
+        )
     if mode == "sequential" and mesh is not None:
         raise ValueError("mode='sequential' does not shard seeds; drop mesh")
     if seeds is None:

@@ -300,3 +300,45 @@ def test_experiment_multiseed_sequential_mode(tmp_path, rng):
             cfg, folds, str(tmp_path / "bad"), n_runs=2, verbose=False,
             mode="nope",
         )
+
+
+def test_choose_runs_mode_encodes_the_measurement():
+    """The auto default must encode the measured BatchNorm fusion-split
+    point (`BN_FUSION_SPLIT_BATCH`): sequential only for conv-128 trunks
+    whose stacked effective conv batch crosses it on a single chip."""
+    import dataclasses
+
+    v1 = get_preset("timepooled-v1")   # conv 128, batch 128
+    v2 = get_preset("timepooled-v2")   # conv 16
+    sed = get_preset("sednet-dcase")   # conv 128, batch 128
+
+    # flagship-width models, 5 runs: 128*5 = 640 >= 256 -> sequential
+    assert multiseed.choose_runs_mode(v1, 5) == "sequential"
+    assert multiseed.choose_runs_mode(sed, 5) == "sequential"
+    # small trunk never hits the split point
+    assert multiseed.choose_runs_mode(v2, 5) == "stacked"
+    # below the split point, stacking wins even for conv-128
+    small_batch = v1.replace(
+        train=dataclasses.replace(v1.train, batch_size=32)
+    )
+    assert multiseed.choose_runs_mode(small_batch, 4) == "stacked"
+    # a seed-sharded mesh always takes the stacked (shardable) program
+    assert multiseed.choose_runs_mode(v1, 5, mesh=object()) == "stacked"
+
+
+def test_experiment_multiseed_auto_mode(tmp_path, rng, capsys):
+    """mode='auto' (the new default) resolves via choose_runs_mode and says
+    which mode it picked; an explicit losing choice warns but proceeds."""
+    cfg = _cfg(max_epochs=1)
+    folds = {1: _synthetic_fold(rng, 2500)}
+    out = multiseed.run_experiment_multiseed(
+        cfg, folds, str(tmp_path / "auto"), n_runs=2,
+    )
+    assert len(out["seeds"]) == 2
+    assert "runs-mode auto -> stacked" in capsys.readouterr().out
+
+    # v2 (small trunk) predicted stacked; asking for sequential warns
+    multiseed.run_experiment_multiseed(
+        cfg, folds, str(tmp_path / "warn"), n_runs=2, mode="sequential",
+    )
+    assert "predicted SLOWER" in capsys.readouterr().out
