@@ -81,6 +81,14 @@ def extract_decorte(
     return paths
 
 
+# bin-mul-mbe resolutions: the diagram's third input contract is six stacked
+# 40-band feature maps per frame (reference README.md:29-31,
+# images/CRNN_SED_DCASE2017_task3.jpg) = 2 binaural channels x 3 STFT
+# resolutions. The hop stays fixed, so every resolution lands on the same
+# frame grid (center=True: n_frames = 1 + len//hop regardless of n_fft).
+BINMUL_N_FFTS = (1024, 2048, 4096)
+
+
 def extract_dcase(
     dcase_root: str,
     cache_dir: str,
@@ -88,15 +96,28 @@ def extract_dcase(
     folds=(1, 2, 3, 4),
     binaural: bool = False,
     fcfg: FrontendConfig = FrontendConfig(),
+    multires=None,
 ) -> None:
     """DCASE 2017 Task 3 layout (reference README.md:47-58): per-fold
     train/evaluate file lists; features per wav (mono mean, or per-channel
     stacked along mel for binaural), multi-class frame labels; per-fold packs
-    ``mbe_{mon|bin}_fold{k}.npz`` with train-only standardization."""
+    ``mbe_{mon|bin|binmul}_fold{k}.npz`` with train-only standardization.
+
+    ``multires`` (with ``binaural=True``): a sequence of n_fft values; each
+    wav channel is featurized at every resolution and the maps stack along
+    the mel axis channel-major (ch0@r0, ch0@r1, ..., ch1@r0, ...) — the
+    bin-mul-mbe contract the ``sednet-dcase-binmul`` preset consumes
+    (in_channels = n_wav_channels * len(multires))."""
+    import dataclasses
+
     audio_dir = os.path.join(dcase_root, "audio", scene)
     setup_dir = os.path.join(dcase_root, "evaluation_setup")
     os.makedirs(cache_dir, exist_ok=True)
-    tag = "bin" if binaural else "mon"
+    if multires is not None and not binaural:
+        raise ValueError("multires stacking requires binaural=True "
+                         "(bin-mul-mbe is a multichannel contract)")
+    n_ffts = tuple(int(n) for n in multires) if multires else (fcfg.n_fft,)
+    tag = ("binmul" if multires else "bin") if binaural else "mon"
     n_classes = len(catalog_mod.DCASE_CLASSES)
     log_path = os.path.join(cache_dir, "feature_log.jsonl")
 
@@ -122,8 +143,19 @@ def extract_dcase(
                 # (`feature.py:41-49`); the native polyphase resampler keeps
                 # that contract without the binary, per channel along axis 0.
                 pcm = resample(pcm, sr, fcfg.sample_rate)
-            chans = [frontend.extract(pcm[:, c], fcfg) for c in range(pcm.shape[1])]
-            mbe = np.concatenate(chans, axis=1)  # (frames, n_mels * nch)
+            chans = [
+                frontend.extract(
+                    pcm[:, c],
+                    fcfg if nf == fcfg.n_fft
+                    else dataclasses.replace(fcfg, n_fft=nf),
+                )
+                for c in range(pcm.shape[1])
+                for nf in n_ffts
+            ]
+            n_frames = min(ch.shape[0] for ch in chans)
+            mbe = np.concatenate(
+                [ch[:n_frames] for ch in chans], axis=1
+            )  # (frames, n_mels * nch * n_res)
         else:
             pcm = decode_audio(path, sr=fcfg.sample_rate, mono=True)
             mbe = frontend.extract(pcm, fcfg)
@@ -188,6 +220,13 @@ def main(argv=None):
     p.add_argument("--dcase-root", help="DCASE 2017 Task 3 dataset root")
     p.add_argument("--scene", default="street")
     p.add_argument("--binaural", action="store_true")
+    p.add_argument("--binmul", action="store_true",
+                   help="bin-mul-mbe packs: each binaural channel featurized "
+                        f"at n_fft {BINMUL_N_FFTS} and stacked to 6 feature "
+                        "maps per frame (the sednet-dcase-binmul preset's "
+                        "input contract); implies --binaural")
+    p.add_argument("--multires", type=int, nargs="+", metavar="N_FFT",
+                   help="override the --binmul resolution set")
     p.add_argument("--cache-dir", required=True)
     p.add_argument("--k-folds", type=int, default=4)
     p.add_argument("--folds", type=int, nargs="+", default=[1, 2, 3, 4],
@@ -196,10 +235,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     fcfg = FrontendConfig(backend=args.backend)
+    multires = None
+    if args.binmul or args.multires:
+        multires = tuple(args.multires) if args.multires else BINMUL_N_FFTS
     if args.dcase_root:
         extract_dcase(
             args.dcase_root, args.cache_dir, args.scene,
-            folds=tuple(args.folds), binaural=args.binaural, fcfg=fcfg,
+            folds=tuple(args.folds), binaural=args.binaural or bool(multires),
+            fcfg=fcfg, multires=multires,
         )
     elif args.media_dir and args.hits_csv:
         extract_decorte(

@@ -249,3 +249,60 @@ def test_dcase_feature_pipeline(tmp_path, rng, binaural):
         params, state = model.init(jax.random.PRNGKey(0))
         logits, _, _ = model.apply(params, state, jnp.asarray(xs), Ctx(train=False))
         assert logits.shape == (xs.shape[0], 64, 6)
+
+
+def test_dcase_binmul_feature_pipeline_trains_end_to_end(tmp_path, rng):
+    """The diagram's third input contract (bin-mul-mbe, 6 feature maps:
+    2 binaural channels x 3 STFT resolutions — reference README.md:29-31)
+    produced by the feature CLI and consumed by the sednet-dcase-binmul
+    preset, end to end."""
+    import dataclasses
+
+    from sed_crnn_tpu.apps import feature as feature_app
+    from sed_crnn_tpu.core.config import get_preset
+    from sed_crnn_tpu.train import loop as train_loop
+
+    root = _fake_dcase_root(tmp_path, rng, binaural=True)
+    cache = str(tmp_path / "cache")
+    feature_app.main([
+        "--dcase-root", root, "--cache-dir", cache, "--folds", "1",
+        "--binmul",
+    ])
+
+    fold = store.load_fold(cache, 1, "binmul")
+    assert fold["train_x"].shape[1] == 240  # 40 mels x 2 ch x 3 resolutions
+    assert fold["train_y"].shape[1] == 6
+    assert abs(fold["train_x"].mean()) < 1e-3  # standardized on train
+    # recorded train stats ride along for serving (arr_4/arr_5)
+    mean, scale = store.load_fold_stats(cache, 1, "binmul")
+    assert mean.shape == (240,) and scale.shape == (240,)
+
+    # resolutions are genuinely different feature maps, not copies: the
+    # same channel at different n_fft must disagree
+    assert not np.allclose(fold["train_x"][:, :40], fold["train_x"][:, 40:80])
+
+    cfg = get_preset("sednet-dcase-binmul")
+    assert cfg.model.in_channels == 6
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, conv_channels=(4, 4, 4), gru_hidden=(4, 4),
+            seq_len_in=64,
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, max_epochs=1, plot_every=0,
+        ),
+    )
+    res = train_loop.run_fold(cfg, fold, 1, str(tmp_path / "art"), verbose=False)
+    assert res.epochs_run == 1
+    assert np.isfinite(res.history["loss_tr"][0])
+
+
+def test_extract_dcase_multires_requires_binaural(tmp_path, rng):
+    from sed_crnn_tpu.apps import feature as feature_app
+
+    root = _fake_dcase_root(tmp_path, rng, binaural=False)
+    with pytest.raises(ValueError, match="binaural"):
+        feature_app.extract_dcase(
+            root, str(tmp_path / "c"), folds=(1,), binaural=False,
+            multires=(1024, 2048),
+        )
