@@ -22,15 +22,23 @@ in `tests/test_export.py::test_realtime_chain_matches_offline` and
 
 ``--listen PORT`` accepts TCP connections on localhost instead of reading
 stdin: each connection streams PCM in and receives its own JSON lines
-back on the same socket (one connection served at a time, fresh model
-state per connection; loop with --connections N or 0 = forever).
+back on the same socket (fresh model state per connection; loop with
+--connections N or 0 = forever). ``--max-streams B`` upgrades the daemon
+to CONCURRENT serving: up to B clients at once, their chunks gathered
+each tick into one ``stream_step_batch`` device program
+(`BatchedStepWorker`) so N clients cost one device dispatch per tick
+instead of N sequential ones; summaries report per-step latency
+p50/p99. Measured batched throughput/latency: docs/SERVING.md.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import queue
 import sys
+import threading
+import time
 
 import numpy as np
 
@@ -124,6 +132,166 @@ class OnlineEventDecoder:
         return done
 
 
+class _DirectStepper:
+    """Single-stream stepping straight through the artifact's programs —
+    the default path; owns the carried RNN state and per-step latency."""
+
+    def __init__(self, artifact):
+        self.art = artifact
+        self.carry = artifact.stream_init()
+        self.latencies = []
+
+    def step(self, chunk):
+        t0 = time.perf_counter()
+        self.carry, probs = self.art.stream_step(self.carry, chunk)
+        probs = np.asarray(probs)
+        self.latencies.append(time.perf_counter() - t0)
+        return probs
+
+    def step_lookahead(self, chunk_pair):
+        t0 = time.perf_counter()
+        self.carry, probs = self.art.stream_step_lookahead(
+            self.carry, chunk_pair
+        )
+        probs = np.asarray(probs)
+        self.latencies.append(time.perf_counter() - t0)
+        return probs
+
+    def close(self):
+        pass
+
+
+class BatchedStepWorker:
+    """Multiplexes up to ``capacity`` concurrent live streams through ONE
+    ``stream_step_batch`` device program (`models/export.py`).
+
+    Each connection owns a slot; its handler thread submits one log-mel
+    chunk at a time and blocks for that slot's probabilities. A single
+    worker thread gathers whatever chunks are pending, zero-pads the
+    inactive slots, runs the batched step, and scatters results back —
+    so N clients cost one device dispatch per tick instead of N. The
+    carry tree lives on the HOST (numpy): RNN carries are a few KB per
+    stream, and host-side slot select/reset avoids extra device programs
+    (inactive slots keep their carry; a freshly acquired slot is zeroed).
+    """
+
+    def __init__(self, artifact, capacity: int):
+        import jax
+
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        self.art = artifact
+        self.capacity = capacity
+        meta = artifact.meta
+        self._chunk_shape = (
+            int(meta["seq_len_in"]),
+            int(meta["n_mels"]) * int(meta["in_channels"]),
+        )
+        # writable host copies (np.asarray of a jax array may be read-only)
+        self.carry = jax.tree.map(
+            lambda a: np.array(a), artifact.stream_init_batch(capacity)
+        )
+        self._tree = jax.tree
+        self._free = list(range(capacity))
+        self._pending = {}  # slot -> (chunk, reply SimpleQueue)
+        self._cv = threading.Condition()
+        self._stop = False
+        self.ticks = 0
+        self.stepped = 0
+        self._thread = threading.Thread(
+            target=self._run, name="sedtpu-batch-step", daemon=True
+        )
+        self._thread.start()
+
+    def stepper(self) -> "_SlotStepper":
+        return _SlotStepper(self)
+
+    def acquire(self) -> int:
+        with self._cv:
+            while not self._free:
+                self._cv.wait()
+            slot = self._free.pop()
+            for leaf in self._tree.leaves(self.carry):
+                leaf[slot] = 0  # fresh stream state
+            return slot
+
+    def release(self, slot: int) -> None:
+        with self._cv:
+            self._pending.pop(slot, None)
+            self._free.append(slot)
+            self._cv.notify_all()
+
+    def submit(self, slot: int, chunk: np.ndarray) -> np.ndarray:
+        reply: "queue.SimpleQueue" = queue.SimpleQueue()
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("batched step worker is shut down")
+            self._pending[slot] = (np.asarray(chunk, np.float32), reply)
+            self._cv.notify_all()
+        return reply.get()
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=10)
+
+    def _run(self) -> None:
+        zero = np.zeros(self._chunk_shape, np.float32)
+        while True:
+            with self._cv:
+                while not self._pending and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    return
+                batch = dict(self._pending)
+                self._pending.clear()
+            slots = sorted(batch)
+            chunks = np.stack(
+                [
+                    batch[s][0] if s in batch else zero
+                    for s in range(self.capacity)
+                ]
+            )
+            new_carry, probs = self.art.stream_step_batch(self.carry, chunks)
+            probs = np.asarray(probs)
+            new_leaves = [
+                np.asarray(l) for l in self._tree.leaves(new_carry)
+            ]
+            idx = np.asarray(slots)
+            with self._cv:
+                for old, new in zip(self._tree.leaves(self.carry), new_leaves):
+                    old[idx] = new[idx]  # inactive slots keep their carry
+            self.ticks += 1
+            self.stepped += len(slots)
+            for s in slots:
+                batch[s][1].put(probs[s])
+
+
+class _SlotStepper:
+    """One stream's view of a `BatchedStepWorker` slot."""
+
+    def __init__(self, worker: BatchedStepWorker):
+        self.worker = worker
+        self.slot = worker.acquire()
+        self.latencies = []
+
+    def step(self, chunk):
+        t0 = time.perf_counter()
+        probs = self.worker.submit(self.slot, chunk)
+        self.latencies.append(time.perf_counter() - t0)
+        return probs
+
+    def step_lookahead(self, chunk_pair):
+        raise ValueError(
+            "lookahead is unsupported in batched serving mode — it holds "
+            "chunks across ticks; serve lookahead streams single-stream"
+        )
+
+    def close(self):
+        self.worker.release(self.slot)
+
+
 def serve_stream(
     artifact,
     pcm_chunks,
@@ -133,6 +301,7 @@ def serve_stream(
     emit_probs: bool = False,
     emit_events: bool = True,
     lookahead: bool = False,
+    stepper=None,
 ):
     """Drive the live chain; calls ``emit(dict)`` per output line. Returns
     ``(n_output_frames, n_events)``.
@@ -171,21 +340,22 @@ def serve_stream(
 
     framer = make_framer(fcfg.n_fft, fcfg.hop_length, fcfg.center)
     decoder = OnlineEventDecoder(n_classes, out_hop_s, threshold)
-    carry = artifact.stream_init()
+    if stepper is None:
+        stepper = _DirectStepper(artifact)
     buf = np.empty((0, fcfg.n_mels), np.float32)
     n_out = n_events = chunk_i = 0
 
     pending = None  # lookahead: the chunk awaiting its right context
 
     def run_chunk(chunk, keep_frames, right=None):
-        nonlocal carry, n_out, n_events, chunk_i
+        nonlocal n_out, n_events, chunk_i
         if right is None:
-            carry, probs = artifact.stream_step(carry, chunk)
+            probs = stepper.step(chunk)
         else:
-            carry, probs = artifact.stream_step_lookahead(
-                carry, np.concatenate([chunk, right], axis=0)
+            probs = stepper.step_lookahead(
+                np.concatenate([chunk, right], axis=0)
             )
-        probs = np.asarray(probs)[:keep_frames]
+        probs = probs[:keep_frames]
         n_out += probs.shape[0]
         if emit_probs and probs.shape[0]:
             emit({"type": "probs", "chunk": chunk_i,
@@ -264,6 +434,11 @@ def main(argv=None):
     p.add_argument("--connections", type=int, default=1,
                    help="with --listen: serve N connections then exit "
                         "(0 = forever)")
+    p.add_argument("--max-streams", type=int, default=1, metavar="B",
+                   help="with --listen: serve up to B clients CONCURRENTLY, "
+                        "multiplexed through one batched device program "
+                        "(stream_step_batch); 1 = the classic one-at-a-time "
+                        "loop")
     p.add_argument("--threshold", type=float, nargs="+", default=None,
                    help="one global value or one per class (default: the "
                         "artifact's baked-in operating points, else 0.5)")
@@ -327,15 +502,29 @@ def main(argv=None):
             return chunks
         return resampled_chunks(chunks, args.input_rate, art_sr)
 
-    def run_one(chunks, emit):
+    def run_one(chunks, emit, stepper=None):
+        stepper = stepper if stepper is not None else _DirectStepper(art)
         n_out, n_events = serve_stream(
             art, chunks, emit, threshold, args.log_floor,
             emit_probs=args.emit in ("probs", "both"),
             emit_events=args.emit in ("events", "both"),
             lookahead=args.lookahead,
+            stepper=stepper,
         )
-        emit({"type": "summary", "n_output_frames": n_out,
-              "n_events": n_events})
+        summary = {"type": "summary", "n_output_frames": n_out,
+                   "n_events": n_events}
+        if stepper.latencies:
+            lat = np.asarray(stepper.latencies) * 1e3
+            summary["step_ms_p50"] = round(float(np.percentile(lat, 50)), 2)
+            summary["step_ms_p99"] = round(float(np.percentile(lat, 99)), 2)
+        emit(summary)
+
+    if args.max_streams < 1:
+        p.error("--max-streams must be >= 1")
+    if args.max_streams > 1 and args.listen is None:
+        p.error("--max-streams applies to --listen daemons")
+    if args.max_streams > 1 and args.lookahead:
+        p.error("--lookahead is single-stream; drop it or --max-streams")
 
     if args.listen is not None:
         if not args.pcm:
@@ -345,27 +534,61 @@ def main(argv=None):
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind((args.host, args.listen))
-        srv.listen(1)
-        print(f"listening on {args.host}:{srv.getsockname()[1]}",
+        srv.listen(max(8, args.max_streams))
+        print(f"listening on {args.host}:{srv.getsockname()[1]}"
+              + (f" (batched, up to {args.max_streams} concurrent streams)"
+                 if args.max_streams > 1 else ""),
               file=sys.stderr, flush=True)
+
+        def handle(conn, addr, stepper=None):
+            # fresh carry/decoder per connection: each client is its own
+            # independent stream; a client that resets mid-stream must not
+            # take the daemon down with it
+            with conn:
+                rf = conn.makefile("rb")
+                wf = conn.makefile("w")
+                try:
+                    run_one(adapt_rate(pcm_chunks_from_stream(rf, args.pcm)),
+                            make_emit(wf), stepper)
+                    wf.flush()
+                except (ConnectionError, OSError) as e:
+                    print(f"connection from {addr} dropped: {e!r}",
+                          file=sys.stderr, flush=True)
+                finally:
+                    if stepper is not None:
+                        stepper.close()
+
         served = 0
         try:
-            while args.connections == 0 or served < args.connections:
-                conn, addr = srv.accept()
-                with conn:
-                    rf = conn.makefile("rb")
-                    wf = conn.makefile("w")
-                    # fresh carry/decoder per connection: each client is
-                    # its own independent stream; a client that resets
-                    # mid-stream must not take the daemon down with it
-                    try:
-                        run_one(adapt_rate(pcm_chunks_from_stream(rf, args.pcm)),
-                                make_emit(wf))
-                        wf.flush()
-                    except (ConnectionError, OSError) as e:
-                        print(f"connection from {addr} dropped: {e!r}",
-                              file=sys.stderr, flush=True)
-                served += 1
+            if args.max_streams > 1:
+                worker = BatchedStepWorker(art, args.max_streams)
+                handlers = []
+                while args.connections == 0 or served < args.connections:
+                    conn, addr = srv.accept()
+                    # slot acquisition happens inside the handler thread so
+                    # a full house queues new clients instead of the accept
+                    # loop blocking the live ones
+                    t = threading.Thread(
+                        target=lambda c=conn, a=addr: handle(
+                            c, a, worker.stepper()
+                        ),
+                        daemon=True,
+                    )
+                    t.start()
+                    handlers.append(t)
+                    served += 1
+                for t in handlers:
+                    t.join()
+                worker.shutdown()
+                print(f"served {served} connections in "
+                      f"{worker.ticks} batched ticks "
+                      f"({worker.stepped} chunk steps)",
+                      file=sys.stderr, flush=True)
+            else:
+                while args.connections == 0 or served < args.connections:
+                    conn, addr = srv.accept()
+                    handle(conn, addr)
+                    served += 1
         finally:
             srv.close()
         return

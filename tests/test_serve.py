@@ -364,3 +364,194 @@ def test_serve_cli_rejects_nonpositive_input_rate(tmp_path, rng):
         with pytest.raises(SystemExit):
             serve_main(["--artifact", art_path, "--pcm", "f32le",
                         "--input-rate", bad])
+
+
+def test_batched_worker_matches_single_stream(tmp_path, rng):
+    """Three concurrent streams through one BatchedStepWorker must each
+    reproduce the single-stream serve_stream output exactly: the batched
+    program is a vmap of the single step, and host-side slot select must
+    never leak one stream's carry into another."""
+    import threading
+
+    from sed_crnn_tpu.apps.serve import BatchedStepWorker
+
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+
+    sr = cfg.frontend.sample_rate
+    streams = [
+        (0.1 * rng.standard_normal(sr * 2)).astype(np.float32)
+        for _ in range(3)
+    ]
+
+    def run(pcm, stepper=None):
+        lines = []
+        n_out, _ = serve_stream(
+            art, _random_packets(pcm, np.random.default_rng(0)),
+            lines.append, threshold=0.5, emit_probs=True, stepper=stepper,
+        )
+        probs = np.concatenate(
+            [np.asarray(l["probs"]) for l in lines if l["type"] == "probs"]
+        )
+        return probs
+
+    want = [run(pcm) for pcm in streams]
+
+    worker = BatchedStepWorker(art, capacity=3)
+    got = [None] * 3
+
+    def client(i):
+        got[i] = run(streams[i], stepper=worker.stepper())
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    worker.shutdown()
+
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], want[i])
+    assert worker.stepped == sum(len(w) for w in want) // int(
+        art.meta["seq_len_out"]
+    )
+
+
+def test_batched_worker_slot_reuse_resets_state(tmp_path, rng):
+    """Back-to-back streams on a reused slot must behave like fresh
+    single-stream runs (acquire zeroes the slot's carry)."""
+    from sed_crnn_tpu.apps.serve import BatchedStepWorker
+
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    sr = cfg.frontend.sample_rate
+    pcm = (0.1 * rng.standard_normal(sr)).astype(np.float32)
+
+    def run(stepper):
+        lines = []
+        serve_stream(art, iter([pcm]), lines.append, threshold=0.5,
+                     emit_probs=True, stepper=stepper)
+        return np.concatenate(
+            [np.asarray(l["probs"]) for l in lines if l["type"] == "probs"]
+        )
+
+    worker = BatchedStepWorker(art, capacity=1)
+    first = run(worker.stepper())
+    second = run(worker.stepper())  # same slot, must not inherit carry
+    worker.shutdown()
+    np.testing.assert_array_equal(first, second)
+
+
+def test_serve_cli_tcp_batched_concurrent_clients(tmp_path, rng):
+    """--max-streams 3: three clients connected AT THE SAME TIME each get
+    their own correct stream back, and summaries carry step latency."""
+    import socket
+    import threading
+    import time
+
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    art_path = str(tmp_path / "model.sedart")
+    art.save(art_path)
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    t = threading.Thread(
+        target=serve_main,
+        args=([
+            "--artifact", art_path, "--pcm", "f32le", "--listen", str(port),
+            "--connections", "3", "--max-streams", "3",
+            "--emit", "both", "--threshold", "0.5",
+        ],),
+        daemon=True,
+    )
+    t.start()
+
+    sr = cfg.frontend.sample_rate
+    streams = [
+        (0.1 * np.random.default_rng(100 + i).standard_normal(sr)).astype(
+            np.float32
+        )
+        for i in range(3)
+    ]
+
+    # single-stream oracle per client
+    def oracle(pcm):
+        lines = []
+        serve_stream(art, iter([pcm]), lines.append, threshold=0.5,
+                     emit_probs=True)
+        return np.concatenate(
+            [np.asarray(l["probs"]) for l in lines if l["type"] == "probs"]
+        )
+
+    want = [oracle(pcm) for pcm in streams]
+
+    socks = []
+    for _ in range(200):
+        try:
+            socks.append(socket.create_connection(("127.0.0.1", port),
+                                                  timeout=0.5))
+            break
+        except OSError:
+            time.sleep(0.05)
+    assert socks, "server never started listening"
+    socks += [socket.create_connection(("127.0.0.1", port), timeout=5)
+              for _ in range(2)]
+    results = [None] * 3
+
+    def client(i):
+        s = socks[i]
+        s.settimeout(120)
+        s.sendall(streams[i].tobytes())
+        s.shutdown(socket.SHUT_WR)
+        data = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        s.close()
+        results[i] = [json.loads(l) for l in data.decode().splitlines()]
+
+    cthreads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for ct in cthreads:
+        ct.start()
+    for ct in cthreads:
+        ct.join()
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+    for i in range(3):
+        lines = results[i]
+        summary = [l for l in lines if l["type"] == "summary"][0]
+        assert summary["n_output_frames"] > 0
+        assert "step_ms_p50" in summary and "step_ms_p99" in summary
+        got = np.concatenate(
+            [np.asarray(l["probs"]) for l in lines if l["type"] == "probs"]
+        )
+        np.testing.assert_array_equal(got, want[i])
+
+
+def test_serve_cli_max_streams_flag_validation(tmp_path, rng):
+    cfg = _tiny_cfg()
+    _, params, state = _init(cfg)
+    art = export_serving(cfg, params, state, platforms=("cpu",))
+    art_path = str(tmp_path / "model.sedart")
+    art.save(art_path)
+    # --max-streams without --listen
+    with pytest.raises(SystemExit):
+        serve_main(["--artifact", art_path, "--pcm", "f32le",
+                    "--max-streams", "4"])
+    # batched + lookahead
+    with pytest.raises(SystemExit):
+        serve_main(["--artifact", art_path, "--pcm", "f32le",
+                    "--listen", "0", "--max-streams", "4", "--lookahead"])
+    with pytest.raises(SystemExit):
+        serve_main(["--artifact", art_path, "--pcm", "f32le",
+                    "--listen", "0", "--max-streams", "0"])
