@@ -36,9 +36,11 @@ def _tone(seconds, sr=44100, seed=0):
 def bench_tpu():
     import jax
 
-    from sed_crnn_tpu.core.runtime import use_fast_prng
+    from sed_crnn_tpu.core.runtime import enable_compilation_cache, use_fast_prng
 
     use_fast_prng()
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir or 'disabled'}")
     import jax.numpy as jnp
 
     from sed_crnn_tpu.core.config import FrontendConfig, get_preset
@@ -176,12 +178,45 @@ def bench_tpu():
             times.append(time.perf_counter() - t0)
         ms_dt = min(times) / chain
         ms_rate = n_seeds * audio_per_epoch / ms_dt
-        log(f"multiseed x{n_seeds} train: {ms_dt*1e3:.1f} ms/epoch "
+        log(f"multiseed x{n_seeds} stacked: {ms_dt*1e3:.1f} ms/epoch "
             f"-> {ms_rate:,.0f} audio-sec/sec aggregate "
             f"({ms_rate/train_rate:.2f}x the single-run rate)")
+
+        # SEQUENTIAL mode — what `--runs-mode auto` picks for this conv-128
+        # config on one chip (train/multiseed.py:476-503): N independent
+        # states through the SAME compiled single-run epoch program, one
+        # after another, one host fetch at the end.
+        seq_states = [
+            trainer.init_state(jax.random.PRNGKey(50 + i))
+            for i in range(n_seeds)
+        ]
+
+        def run_seq(seed0):
+            losses = []
+            for i in range(n_seeds):
+                s = seq_states[i]
+                for r in range(chain):
+                    s, sc = trainer.train_epoch(
+                        s, jax.random.PRNGKey(seed0 + r + 31 * i), n_steps
+                    )
+                seq_states[i] = s
+                losses.append(sc["loss"])
+            _ = float(jnp.sum(jnp.stack(losses)))
+
+        run_seq(1)  # settle (the epoch program is already compiled)
+        t0 = time.perf_counter()
+        run_seq(60)
+        seq_dt = time.perf_counter() - t0
+        ms_seq_rate = n_seeds * chain * audio_per_epoch / seq_dt
+        ms_auto_mode = "sequential" if ms_seq_rate > ms_rate else "stacked"
+        log(f"multiseed x{n_seeds} sequential: {seq_dt/ (n_seeds*chain) * 1e3:.1f} "
+            f"ms/epoch -> {ms_seq_rate:,.0f} audio-sec/sec aggregate; "
+            f"auto mode picks '{ms_auto_mode}' "
+            f"({max(ms_seq_rate, ms_rate)/min(ms_seq_rate, ms_rate):.2f}x win)")
     except Exception as e:  # pragma: no cover - defensive
         log(f"multiseed bench FAILED (non-fatal): {e!r}")
-        ms_rate = 0.0
+        ms_rate = ms_seq_rate = 0.0
+        ms_auto_mode = "unknown"
 
     # ---- flagship SEDnet: 256-frame sequence training (the reference's
     # headline workflow, README.md:55-58) -------------------------------
@@ -277,9 +312,104 @@ def bench_tpu():
         log(f"sednet streaming infer FAILED (non-fatal): {e!r}")
         stream_rate = 0.0
 
+    # ---- batched streaming serving: B concurrent live streams through ONE
+    # one-chunk device program — the `sedtpu-serve --max-streams B` daemon's
+    # device path (BatchedStepWorker), measured artifact-free on the live
+    # model. Pipelined = device-resident carries, one fetch (the
+    # apples-to-apples comparison against the equally pipelined train rate);
+    # sync = fetch probabilities every tick, what the daemon actually pays
+    # per tick including the axon tunnel round trip. The exported-artifact
+    # and live-TCP numbers are recorded in docs/SERVING.md
+    # (scripts/bench_serving.py). --------------------------------------
+    from functools import partial
+
+    from sed_crnn_tpu.nn.layers import Ctx
+
+    batched_stream = {}
+    bs_sync_p50 = bs_sync_p99 = 0.0
+    try:
+        from sed_crnn_tpu.models.streaming import _zero_carry
+
+        params_b, mstate_b = state_s.params, state_s.model_state
+        t_in = exp_s.model.seq_len_in
+        chunk_audio = t_in / FRAMES_PER_SEC
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_batch(carry, chunks):
+            def one(c, x):
+                logits, _, nc = model_s.apply(
+                    params_b, mstate_b, x[None], Ctx(train=False), rnn_carry=c
+                )
+                return nc, jax.nn.sigmoid(logits[0])
+
+            new_carry, probs = jax.vmap(one)(carry, chunks)
+            new_carry = [  # causal: backward state re-zeroes per chunk
+                {"fwd": c["fwd"], "bwd": jnp.zeros_like(c["bwd"])}
+                for c in new_carry
+            ]
+            return new_carry, probs
+
+        bs_chain = 8
+        for B in (8, 32, 128):
+            chunks = jnp.asarray(
+                rng.standard_normal((B, t_in, 40)), jnp.float32
+            )
+            c1 = _zero_carry(trainer_s.model, params_b, mstate_b, t_in, batch=1)
+            carry = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B, *a.shape)) + 0.0, c1
+            )
+            carry, probs = step_batch(carry, chunks)  # compile
+            float(jnp.sum(probs))
+
+            def run_bs(carry):
+                acc = 0.0
+                for _ in range(bs_chain):
+                    carry, probs = step_batch(carry, chunks)
+                    acc = acc + jnp.sum(probs)
+                return carry, float(acc)
+
+            carry, _ = run_bs(carry)  # settle
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                carry, _ = run_bs(carry)
+                times.append(time.perf_counter() - t0)
+            step_dt = min(times) / bs_chain
+            batched_stream[B] = B * chunk_audio / step_dt
+            log(f"batched stream B={B}: {step_dt*1e3:.2f} ms/step -> "
+                f"{batched_stream[B]:,.0f} audio-sec/sec aggregate "
+                f"({batched_stream[B]/sed_rate:.1f}x the train rate)")
+            if B == 32:  # daemon-tick latency: one host fetch per tick
+                lat = []
+                for _ in range(20):
+                    t0 = time.perf_counter()
+                    carry, probs = step_batch(carry, chunks)
+                    _ = np.asarray(probs)
+                    lat.append(time.perf_counter() - t0)
+                lat_ms = np.asarray(lat) * 1e3
+                bs_sync_p50 = float(np.percentile(lat_ms, 50))
+                bs_sync_p99 = float(np.percentile(lat_ms, 99))
+                log(f"batched stream B=32 sync tick: p50 {bs_sync_p50:.1f} ms "
+                    f"p99 {bs_sync_p99:.1f} ms")
+    except Exception as e:  # pragma: no cover - defensive
+        log(f"batched streaming bench FAILED (non-fatal): {e!r}")
+
     pipeline_rate = 1.0 / (1.0 / best_feat_rate + 1.0 / train_rate)
-    return (pipeline_rate, best_feat_rate, train_rate, sed_rate, sed_compile,
-            stream_rate, ms_rate)
+    return {
+        "pipeline_rate": pipeline_rate,
+        "feat_rate": best_feat_rate,
+        "train_rate": train_rate,
+        "sed_rate": sed_rate,
+        "sed_compile": sed_compile,
+        "stream_rate": stream_rate,
+        "ms_rate": ms_rate,
+        "ms_seq_rate": ms_seq_rate,
+        "ms_auto_mode": ms_auto_mode,
+        "batched_stream": batched_stream,
+        "bs_sync_p50_ms": bs_sync_p50,
+        "bs_sync_p99_ms": bs_sync_p99,
+        "cache_dir": cache_dir,
+    }
 
 
 def bench_cpu_reference():
@@ -349,23 +479,54 @@ def bench_cpu_reference():
     return 1.0 / (1.0 / feat_rate + 1.0 / train_rate)
 
 
+# Calibrated CPU-reference denominator: median of 9 back-to-back
+# bench_cpu_reference() runs on this box with no other load
+# (scripts/calibrate_baseline.py, 2026-08-20). The LIVE denominator swung
+# 21.0-54.6 audio-sec/sec across rounds 1-4 (BENCH_r0{1..4}.json) purely
+# with box load while the TPU numerator moved 1.6%, so the headline
+# multiplier is also pinned against this constant; a >2x deviation of the
+# live measurement from it flags a loaded box.
+CPU_BASELINE_CALIBRATED = 54.0  # audio-sec/sec; scripts/calibrate_baseline.py
+
+
 def main():
-    (tpu_rate, feat_rate, train_rate, sed_rate, sed_compile,
-     stream_rate, ms_rate) = bench_tpu()
+    r = bench_tpu()
     cpu_rate = bench_cpu_reference()
+    tpu_rate = r["pipeline_rate"]
+    deviation = max(cpu_rate, CPU_BASELINE_CALIBRATED) / max(
+        1e-9, min(cpu_rate, CPU_BASELINE_CALIBRATED)
+    )
+    if deviation > 2.0:
+        log(f"WARNING: live CPU baseline {cpu_rate:.1f} deviates {deviation:.1f}x "
+            f"from the calibrated {CPU_BASELINE_CALIBRATED:.1f} audio-sec/sec "
+            f"(loaded box?) — prefer vs_baseline_calibrated")
     result = {
         "metric": "feature+train pipeline throughput (timepooled CRNN, 40-mel frontend)",
         "value": round(tpu_rate / 3600.0, 3),
         "unit": "audio-hours/sec",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "vs_baseline": round(tpu_rate / CPU_BASELINE_CALIBRATED, 2),
         "detail": {
-            "tpu_frontend_audio_sec_per_sec": round(feat_rate, 1),
-            "tpu_train_audio_sec_per_sec": round(train_rate, 1),
-            "cpu_reference_audio_sec_per_sec": round(cpu_rate, 1),
-            "sednet256_train_audio_sec_per_sec": round(sed_rate, 1),
-            "sednet256_first_epoch_compile_sec": round(sed_compile, 1),
-            "sednet256_streaming_infer_audio_sec_per_sec": round(stream_rate, 1),
-            "multiseed4_v1_train_audio_sec_per_sec": round(ms_rate, 1),
+            "tpu_frontend_audio_sec_per_sec": round(r["feat_rate"], 1),
+            "tpu_train_audio_sec_per_sec": round(r["train_rate"], 1),
+            "cpu_reference_audio_sec_per_sec_live": round(cpu_rate, 1),
+            "cpu_reference_audio_sec_per_sec_calibrated": CPU_BASELINE_CALIBRATED,
+            "vs_baseline_live": round(tpu_rate / cpu_rate, 2),
+            "sednet256_train_audio_sec_per_sec": round(r["sed_rate"], 1),
+            "sednet256_first_epoch_compile_sec": round(r["sed_compile"], 1),
+            "compile_cache_dir": r["cache_dir"],
+            "sednet256_streaming_infer_audio_sec_per_sec": round(
+                r["stream_rate"], 1
+            ),
+            "multiseed4_v1_stacked_audio_sec_per_sec": round(r["ms_rate"], 1),
+            "multiseed4_v1_sequential_audio_sec_per_sec": round(
+                r["ms_seq_rate"], 1
+            ),
+            "multiseed4_v1_auto_mode": r["ms_auto_mode"],
+            "batched_stream_audio_sec_per_sec": {
+                str(b): round(v, 1) for b, v in r["batched_stream"].items()
+            },
+            "batched_stream32_sync_tick_ms_p50": round(r["bs_sync_p50_ms"], 2),
+            "batched_stream32_sync_tick_ms_p99": round(r["bs_sync_p99_ms"], 2),
         },
     }
     print(json.dumps(result))

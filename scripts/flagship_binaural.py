@@ -45,6 +45,9 @@ def main(argv=None):
                         "+ probability ensemble")
     p.add_argument("--batch-size", type=int, default=None,
                    help="override the preset batch size (CPU smoke runs)")
+    p.add_argument("--preset", default="sednet-dcase-binaural",
+                   help="flagship preset to run (sednet-dcase for the "
+                        "mono protocol)")
     args = p.parse_args(argv)
 
     import jax
@@ -58,7 +61,7 @@ def main(argv=None):
     print(json.dumps({"stage": "devices",
                       "devices": [str(d) for d in jax.devices()]}))
 
-    preset = "sednet-dcase-binaural"
+    preset = args.preset
     t0 = time.time()
     train_argv = [
         "--preset", preset, "--synthetic",

@@ -96,7 +96,7 @@ def scores(logits, y):
     }
 
 
-def run_framework(mel_tr, lab_tr, x_val, y_val):
+def run_framework(mel_tr, lab_tr, x_val, y_val, seed=0):
     import jax
     import jax.numpy as jnp
 
@@ -117,11 +117,13 @@ def run_framework(mel_tr, lab_tr, x_val, y_val):
     ts, vs = make_samplers(exp, fold)
     model = get_model(exp.model)
     trainer = Trainer(model, exp.train, ts, vs)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = trainer.init_state(jax.random.PRNGKey(seed))
     hist = []
     for e in range(EPOCHS):
         t0 = time.perf_counter()
-        state, sc = trainer.train_epoch(state, jax.random.PRNGKey(50 + e), STEPS)
+        state, sc = trainer.train_epoch(
+            state, jax.random.PRNGKey(1000 * seed + 50 + e), STEPS
+        )
         loss = float(sc["loss"])
         hist.append(loss)
         log(f"[jax] epoch {e}: loss {loss:.4f} ({time.perf_counter()-t0:.1f}s)")
@@ -139,11 +141,11 @@ def run_framework(mel_tr, lab_tr, x_val, y_val):
     return np.concatenate(preds), hist
 
 
-def run_keras(mel_tr, lab_tr, x_val, y_val):
+def run_keras(mel_tr, lab_tr, x_val, y_val, seed=0):
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
     import keras
 
-    keras.utils.set_random_seed(0)
+    keras.utils.set_random_seed(seed)
     from sed_crnn_tpu.core.config import get_preset
 
     m = get_preset("sednet-dcase").model
@@ -183,7 +185,7 @@ def run_keras(mel_tr, lab_tr, x_val, y_val):
     x_tr, y_tr = aligned_windows(mel_tr, lab_tr)
     # iid uniform window draws, exactly the framework's sequence-sampler
     # epoch semantics (STEPS x B draws with replacement per epoch)
-    draw = np.random.default_rng(11)
+    draw = np.random.default_rng(11 + seed)
     hist = []
     for e in range(EPOCHS):
         t0 = time.perf_counter()
@@ -203,6 +205,11 @@ def main():
     global SIGNAL
     ap = argparse.ArgumentParser()
     ap.add_argument("--signal", type=float, default=SIGNAL)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent init/sampling seeds PER FRAMEWORK; "
+                         ">1 reports mean±std and compares the means, so "
+                         "the parity claim does not rest on one draw per "
+                         "side (same dataset across seeds)")
     args = ap.parse_args()
     SIGNAL = args.signal
     rng = np.random.default_rng(7)
@@ -213,19 +220,31 @@ def main():
         f"val windows {x_val.shape[0]}, "
         f"pos rate {lab_tr.mean():.3f}")
 
-    jx_logits, jx_hist = run_framework(mel_tr, lab_tr, x_val, y_val)
-    jx = scores(jx_logits, y_val)
-    log(f"[jax] val: {jx}")
+    def summarize(side, runner):
+        runs = []
+        for s in range(args.seeds):
+            logits, hist = runner(mel_tr, lab_tr, x_val, y_val, seed=s)
+            sc = scores(logits, y_val)
+            log(f"[{side}] seed {s} val: {sc}")
+            runs.append({**sc, "loss_hist": [round(v, 5) for v in hist]})
+        ers = [r["er_1s"] for r in runs]
+        f1s = [r["f1_1s"] for r in runs]
+        return {
+            "per_seed": runs,
+            "er_1s": float(np.mean(ers)),
+            "er_1s_std": float(np.std(ers)),
+            "f1_1s": float(np.mean(f1s)),
+            "f1_1s_std": float(np.std(f1s)),
+        }
 
-    ks_logits, ks_hist = run_keras(mel_tr, lab_tr, x_val, y_val)
-    ks = scores(ks_logits, y_val)
-    log(f"[keras] val: {ks}")
+    jx = summarize("jax", run_framework)
+    ks = summarize("keras", run_keras)
 
     d_er = abs(jx["er_1s"] - ks["er_1s"])
     d_f1 = abs(jx["f1_1s"] - ks["f1_1s"])
     result = {
-        "jax": {**jx, "loss_hist": [round(v, 5) for v in jx_hist]},
-        "keras": {**ks, "loss_hist": [round(v, 5) for v in ks_hist]},
+        "jax": jx,
+        "keras": ks,
         "delta_er": round(d_er, 4),
         "delta_f1": round(d_f1, 4),
         "band": 0.1,
@@ -233,6 +252,7 @@ def main():
         "config": {
             "epochs": EPOCHS, "steps": STEPS, "batch": B, "lr": LR,
             "signal": SIGNAL, "gates": "sigmoid", "block": BLOCK,
+            "seeds": args.seeds,
         },
     }
     print(json.dumps(result, indent=2))

@@ -61,6 +61,10 @@ def main(argv=None):
     p.add_argument("--out", help="write the JSON report here (default stdout)")
     args = p.parse_args(argv)
 
+    from sed_crnn_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     mesh = None
     if args.data_parallel:
         from sed_crnn_tpu.parallel.mesh import make_mesh

@@ -62,6 +62,10 @@ def main(argv=None):
              "consumers apply their own decode)",
     )
     args = p.parse_args(argv)
+
+    from sed_crnn_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     default_threshold = None
     if args.threshold is not None:
         default_threshold = (

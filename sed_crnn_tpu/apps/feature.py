@@ -234,6 +234,10 @@ def main(argv=None):
     p.add_argument("--backend", default="fft", choices=["fft", "matmul", "pallas"])
     args = p.parse_args(argv)
 
+    from sed_crnn_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     fcfg = FrontendConfig(backend=args.backend)
     multires = None
     if args.binmul or args.multires:

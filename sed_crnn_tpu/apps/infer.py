@@ -249,6 +249,10 @@ def main(argv=None):
     p.add_argument("--out", help="write events here (default stdout)")
     args = p.parse_args(argv)
 
+    from sed_crnn_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if bool(args.checkpoint) == bool(args.artifact):
         p.error("pass exactly one of --checkpoint or --artifact")
     threshold = None

@@ -196,6 +196,7 @@ class BatchedStepWorker:
         self._pending = {}  # slot -> (chunk, reply SimpleQueue)
         self._cv = threading.Condition()
         self._stop = False
+        self._error: Exception | None = None
         self.ticks = 0
         self.stepped = 0
         self._thread = threading.Thread(
@@ -208,8 +209,12 @@ class BatchedStepWorker:
 
     def acquire(self) -> int:
         with self._cv:
-            while not self._free:
+            while not self._free and not self._stop:
                 self._cv.wait()
+            if self._stop:
+                raise RuntimeError(
+                    "batched step worker is shut down"
+                ) from self._error
             slot = self._free.pop()
             for leaf in self._tree.leaves(self.carry):
                 leaf[slot] = 0  # fresh stream state
@@ -225,10 +230,19 @@ class BatchedStepWorker:
         reply: "queue.SimpleQueue" = queue.SimpleQueue()
         with self._cv:
             if self._stop:
-                raise RuntimeError("batched step worker is shut down")
+                raise RuntimeError(
+                    "batched step worker is shut down"
+                ) from self._error
             self._pending[slot] = (np.asarray(chunk, np.float32), reply)
             self._cv.notify_all()
-        return reply.get()
+        out = reply.get()
+        # A worker-thread failure is delivered as the exception itself so no
+        # client ever blocks forever on a dead worker (a silent worker death
+        # deadlocked the whole daemon: clients in reply.get(), accept loop in
+        # join — observed once under heavy host contention).
+        if isinstance(out, BaseException):
+            raise RuntimeError("batched step worker died") from out
+        return out
 
     def shutdown(self) -> None:
         with self._cv:
@@ -237,6 +251,19 @@ class BatchedStepWorker:
         self._thread.join(timeout=10)
 
     def _run(self) -> None:
+        try:
+            self._loop()
+        except BaseException as e:  # deliver, never die silently
+            with self._cv:
+                self._error = e
+                self._stop = True
+                pending = dict(self._pending)
+                self._pending.clear()
+                self._cv.notify_all()
+            for _, reply in pending.values():
+                reply.put(e)
+
+    def _loop(self) -> None:
         zero = np.zeros(self._chunk_shape, np.float32)
         while True:
             with self._cv:
@@ -247,17 +274,24 @@ class BatchedStepWorker:
                 batch = dict(self._pending)
                 self._pending.clear()
             slots = sorted(batch)
-            chunks = np.stack(
-                [
-                    batch[s][0] if s in batch else zero
-                    for s in range(self.capacity)
+            try:
+                chunks = np.stack(
+                    [
+                        batch[s][0] if s in batch else zero
+                        for s in range(self.capacity)
+                    ]
+                )
+                new_carry, probs = self.art.stream_step_batch(
+                    self.carry, chunks
+                )
+                probs = np.asarray(probs)
+                new_leaves = [
+                    np.asarray(l) for l in self._tree.leaves(new_carry)
                 ]
-            )
-            new_carry, probs = self.art.stream_step_batch(self.carry, chunks)
-            probs = np.asarray(probs)
-            new_leaves = [
-                np.asarray(l) for l in self._tree.leaves(new_carry)
-            ]
+            except BaseException as e:
+                for s in slots:  # this tick's clients get the error too
+                    batch[s][1].put(e)
+                raise
             idx = np.asarray(slots)
             with self._cv:
                 for old, new in zip(self._tree.leaves(self.carry), new_leaves):
@@ -459,6 +493,10 @@ def main(argv=None):
     p.add_argument("--log-floor", type=float, default=1e-10)
     p.add_argument("--out", help="append JSON lines here (default stdout)")
     args = p.parse_args(argv)
+
+    from sed_crnn_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from sed_crnn_tpu.models.export import ServingArtifact
 

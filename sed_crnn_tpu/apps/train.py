@@ -98,10 +98,9 @@ def main(argv=None):
                    help="keep jax's default threefry PRNG (default: TPU-native rbg)")
     args = p.parse_args(argv)
 
-    if not args.slow_prng:
-        from sed_crnn_tpu.core.runtime import use_fast_prng
+    from sed_crnn_tpu.core.runtime import configure
 
-        use_fast_prng()
+    configure(fast_prng=not args.slow_prng)
 
     cfg = get_preset(args.preset)
     overrides = {}

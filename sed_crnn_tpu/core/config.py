@@ -102,6 +102,13 @@ class ModelConfig:
     init_scheme: str = "torch"
     dtype: str = "float32"          # parameter dtype
     compute_dtype: str = "float32"  # activation dtype (bfloat16 for speed)
+    # Rematerialize the conv trunk in the backward pass (`jax.checkpoint`):
+    # trades ~1/3 extra trunk FLOPs for not holding the three
+    # (B, 40, 256, 128) activation tensors through the GRU/head backward —
+    # an HBM-pressure knob for large-batch training. Off by default; the
+    # measured A/B on the flagship step is in docs/ROADMAP.md
+    # (scripts/sednet_remat_ab.py).
+    remat_trunk: bool = False
 
     @property
     def seq_len_out(self) -> int:

@@ -195,17 +195,29 @@ class CRNN:
 
         drop = Dropout(cfg.dropout)
         rngs = ctx.split(len(cfg.conv_channels) + 1)
-        new_bn_state = []
-        for i, (conv, bn, pool) in enumerate(self._blocks()):
-            x = conv.apply(params["conv"][i], x)
-            x, bn_s = bn.apply(params["bn"][i], state["bn"][i], x, ctx)
-            new_bn_state.append(bn_s)
-            x = jax.nn.relu(x)
-            x = max_pool2d(x, pool)
-            if cfg.dropout_per_block:
-                x = drop.apply(x, ctx.with_rng(rngs[i]))
-        if not cfg.dropout_per_block:
-            x = drop.apply(x, ctx.with_rng(rngs[-1]))
+
+        def _trunk(conv_params, bn_params, bn_state_in, x, rngs):
+            new_bn_state = []
+            for i, (conv, bn, pool) in enumerate(self._blocks()):
+                x = conv.apply(conv_params[i], x)
+                x, bn_s = bn.apply(bn_params[i], bn_state_in[i], x, ctx)
+                new_bn_state.append(bn_s)
+                x = jax.nn.relu(x)
+                x = max_pool2d(x, pool)
+                if cfg.dropout_per_block:
+                    x = drop.apply(x, ctx.with_rng(rngs[i]))
+            if not cfg.dropout_per_block:
+                x = drop.apply(x, ctx.with_rng(rngs[-1]))
+            return x, new_bn_state
+
+        trunk = (
+            jax.checkpoint(_trunk)
+            if getattr(cfg, "remat_trunk", False)
+            else _trunk
+        )
+        x, new_bn_state = trunk(
+            params["conv"], params["bn"], state["bn"], x, rngs
+        )
 
         # -> (B, T, feat) matching the reference flatten order [B,T,C,F]
         if cfg.pool_axis == "time":

@@ -210,3 +210,57 @@ def test_keras_init_scheme():
     np.testing.assert_allclose(
         np.asarray(g0) @ np.asarray(g0).T, np.eye(32), atol=1e-5
     )
+
+
+def test_remat_trunk_matches_baseline_forward_and_grad():
+    """`ModelConfig.remat_trunk` is a scheduling knob: identical forward
+    logits, BN state updates, and gradients — only the backward's memory
+    plan changes (`models/crnn.py` wraps the conv trunk in
+    `jax.checkpoint`)."""
+    import dataclasses
+
+    from sed_crnn_tpu.core.config import get_preset
+    from sed_crnn_tpu.models import get_model
+    from sed_crnn_tpu.ops.losses import bce_with_logits
+
+    base_cfg = dataclasses.replace(
+        get_preset("sednet-dcase").model,
+        seq_len_in=32, conv_channels=(8, 8), pool=(5, 2), gru_hidden=(4,),
+        head_dims=(4, 6),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 40)), jnp.float32
+    )
+    y = (np.random.default_rng(1).random((2, 32, 6)) > 0.7).astype(np.float32)
+
+    outs = []
+    for remat in (False, True):
+        model = get_model(dataclasses.replace(base_cfg, remat_trunk=remat))
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            logits, new_state, _ = model.apply(
+                p, state, x, Ctx(train=True, rng=jax.random.PRNGKey(7))
+            )
+            return bce_with_logits(logits, jnp.asarray(y)), (logits, new_state)
+
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        outs.append((float(loss), logits, new_state, grads))
+
+    # remat changes XLA fusion boundaries, so f32 accumulation order
+    # shifts a few ULPs; the comparison is tight-allclose, not bit-equal.
+    (l0, lg0, st0, g0), (l1, lg1, st1, g1) = outs
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(lg0), np.asarray(lg1), rtol=1e-4, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(st0), jax.tree.leaves(st1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        )

@@ -438,8 +438,16 @@ def test_batched_worker_slot_reuse_resets_state(tmp_path, rng):
         )
 
     worker = BatchedStepWorker(art, capacity=1)
-    first = run(worker.stepper())
-    second = run(worker.stepper())  # same slot, must not inherit carry
+    # The stepper's owner must release its slot (as the daemon's handler
+    # does in its finally) — with capacity=1 an unreleased slot blocks the
+    # next acquire forever. Exactly that leak made this test deadlock the
+    # whole suite before round 5.
+    s1 = worker.stepper()
+    first = run(s1)
+    s1.close()
+    s2 = worker.stepper()  # same slot, must not inherit carry
+    second = run(s2)
+    s2.close()
     worker.shutdown()
     np.testing.assert_array_equal(first, second)
 
@@ -555,3 +563,34 @@ def test_serve_cli_max_streams_flag_validation(tmp_path, rng):
     with pytest.raises(SystemExit):
         serve_main(["--artifact", art_path, "--pcm", "f32le",
                     "--listen", "0", "--max-streams", "0"])
+
+
+def test_batched_worker_death_propagates_not_hangs():
+    """A worker-thread failure must surface to clients as an exception —
+    a silently dead worker leaves every client blocked in reply.get() and
+    the daemon's accept loop in join() forever (observed once under heavy
+    host contention). Clients get the error; later submits and acquires
+    fail fast."""
+    from sed_crnn_tpu.apps.serve import BatchedStepWorker
+
+    class Boom(RuntimeError):
+        pass
+
+    class FakeArt:
+        meta = {"seq_len_in": 4, "n_mels": 3, "in_channels": 1}
+
+        def stream_init_batch(self, b):
+            return [np.zeros((b, 2), np.float32)]
+
+        def stream_step_batch(self, carry, chunks):
+            raise Boom("kernel exploded")
+
+    w = BatchedStepWorker(FakeArt(), capacity=2)
+    s = w.stepper()
+    with pytest.raises(RuntimeError, match="died"):
+        s.step(np.zeros((4, 3), np.float32))
+    with pytest.raises(RuntimeError, match="shut down"):
+        w.submit(0, np.zeros((4, 3), np.float32))
+    with pytest.raises(RuntimeError, match="shut down"):
+        w.acquire()
+    w.shutdown()
