@@ -25,6 +25,10 @@ from sed_crnn_tpu.models import get_model
 from sed_crnn_tpu.train import loop as train_loop
 from sed_crnn_tpu.train.loop import Trainer, _epoch_program, make_samplers, plan_folds
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg(sampler="balanced", **tkw):
     model = ModelConfig(

@@ -14,6 +14,12 @@ from sed_crnn_tpu.models import get_model
 from sed_crnn_tpu.models.streaming import stream_logits, stream_logits_batch
 from sed_crnn_tpu.parallel.mesh import make_mesh
 
+import pytest
+
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 def test_train_cli_data_parallel(tmp_path):
     from sed_crnn_tpu.apps import train as train_app

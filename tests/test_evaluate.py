@@ -17,6 +17,10 @@ from sed_crnn_tpu.train import evaluate as eval_mod
 
 from tests.oracle.metrics_ref import ref_er_1sec, ref_f1_1sec
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 def _split(rng, frames=3000):
     mel = rng.standard_normal((frames, 40)).astype(np.float32)

@@ -22,6 +22,10 @@ from sed_crnn_tpu.models import get_model
 from sed_crnn_tpu.models.export import ServingArtifact, export_serving
 from sed_crnn_tpu.nn.layers import Ctx
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg(**model_kw):
     cfg = get_preset("timepooled-v2")

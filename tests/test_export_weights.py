@@ -35,6 +35,10 @@ from sed_crnn_tpu.models.transplant import (
 from sed_crnn_tpu.nn.layers import Ctx
 from tests.test_model_parity import TorchV1
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 TIME_POOL = (2, 2, 2)
 
 

@@ -15,6 +15,10 @@ from sed_crnn_tpu.models import get_model
 from sed_crnn_tpu.models.streaming import stream_probabilities
 from sed_crnn_tpu.nn.layers import Ctx
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 # ---------------- wav I/O ----------------
 

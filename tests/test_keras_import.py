@@ -38,6 +38,10 @@ from sed_crnn_tpu.models.transplant import (  # noqa: E402
 from sed_crnn_tpu.nn.gru import GRU  # noqa: E402
 from sed_crnn_tpu.nn.layers import Ctx  # noqa: E402
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 @keras.saving.register_keras_serializable(package="sed_crnn_tpu_tests")
 def hard_sigmoid_legacy(x):

@@ -15,6 +15,10 @@ from sed_crnn_tpu.models import count_params, get_model
 from sed_crnn_tpu.models.transplant import params_from_torch_state_dict
 from sed_crnn_tpu.nn.layers import Ctx
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 class TorchV1(nn.Module):
     """Reconstruction of the reference v1 TimePooledCRNN contract:

@@ -12,6 +12,12 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 CHILD = os.path.join(os.path.dirname(__file__), "multihost_child.py")
 
 

@@ -13,6 +13,10 @@ from sed_crnn_tpu.train import loop as train_loop
 from sed_crnn_tpu.train import multiseed
 from tests.test_train import _synthetic_fold
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 def _cfg(**train_overrides):
     cfg = get_preset("timepooled-v2")

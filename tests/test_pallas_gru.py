@@ -15,6 +15,10 @@ import jax.numpy as jnp
 from sed_crnn_tpu.nn.gru import GRU, BiGRU
 from sed_crnn_tpu.ops.pallas.gru_scan import fits_vmem, gru_scan
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 B, T, IN, H = 8, 12, 10, 5
 
 

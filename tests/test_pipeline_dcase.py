@@ -14,6 +14,10 @@ from sed_crnn_tpu.data import catalog, pipeline, store, wavio
 from sed_crnn_tpu.data.xlsx import read_xlsx_rows
 from sed_crnn_tpu.parallel.mesh import make_mesh
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 # ---------------- xlsx ----------------
 

@@ -8,6 +8,12 @@ import os
 
 from tests.test_pipeline_dcase import _fake_dcase_root
 
+import pytest
+
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 _SPEC = importlib.util.spec_from_file_location(
     "reproduce_dcase",
     os.path.join(os.path.dirname(__file__), "..", "scripts", "reproduce_dcase.py"),

@@ -12,6 +12,10 @@ from sed_crnn_tpu.core.config import get_preset
 from sed_crnn_tpu.data.sampler import SequenceWindowSampler
 from sed_crnn_tpu.train import loop as train_loop
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 def test_sequence_sampler_semantics(rng):
     frames, n_mels, n_classes = 1000, 40, 6

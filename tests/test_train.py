@@ -16,6 +16,10 @@ from sed_crnn_tpu.data import rasterize
 from sed_crnn_tpu.train import loop as train_loop
 from sed_crnn_tpu.train.optim import Adam, ReduceLROnPlateau, clip_by_global_norm, global_norm
 
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 
 # ---------------- optimizer parity ----------------
 

@@ -35,6 +35,12 @@ from sed_crnn_tpu.train.evaluate import window_split
 from sed_crnn_tpu.train.loop import Trainer, make_samplers
 from tests.oracle.metrics_ref import ref_er_1sec, ref_f1_1sec
 
+import pytest
+
+# Compile-heavy tier: deselect with `-m "not slow"` for the fast smoke pass
+# (see pyproject [tool.pytest.ini_options] markers and docs/DESIGN.md).
+pytestmark = pytest.mark.slow
+
 SEQ, POOL_OUT, BATCH, EPOCHS, BLOCK = 64, 8, 32, 6, 5
 
 
