@@ -480,12 +480,13 @@ def bench_cpu_reference():
 
 # Calibrated CPU-reference denominator: median of 9 back-to-back
 # bench_cpu_reference() runs on this box with no other load
-# (scripts/calibrate_baseline.py, 2026-08-20). The LIVE denominator swung
-# 21.0-54.6 audio-sec/sec across rounds 1-4 (BENCH_r0{1..4}.json) purely
-# with box load while the TPU numerator moved 1.6%, so the headline
-# multiplier is also pinned against this constant; a >2x deviation of the
-# live measurement from it flags a loaded box.
-CPU_BASELINE_CALIBRATED = 54.0  # audio-sec/sec; scripts/calibrate_baseline.py
+# (scripts/calibrate_baseline.py, 2026-08-21: median 39.5, min 32.0,
+# max 46.3). The LIVE denominator swung 21.0-54.6 audio-sec/sec across
+# rounds 1-4 (BENCH_r0{1..4}.json) purely with box load while the TPU
+# numerator moved 1.6%, so the headline multiplier is pinned against this
+# constant; a >2x deviation of the live measurement from it flags a
+# loaded box.
+CPU_BASELINE_CALIBRATED = 39.5  # audio-sec/sec; scripts/calibrate_baseline.py
 
 
 def main():
