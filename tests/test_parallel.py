@@ -18,6 +18,11 @@ from sed_crnn_tpu.parallel.data_parallel import DataParallelTrainer
 from sed_crnn_tpu.parallel.mesh import make_mesh, local_batch_slice
 from sed_crnn_tpu.train.loop import make_samplers
 
+import pytest
+
+# Compile-heavy tier: deselect with `-m "not slow"` (see pyproject).
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_and_batch_slicing():
     mesh = make_mesh(8)

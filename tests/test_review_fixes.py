@@ -6,6 +6,7 @@ import os
 import struct
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -70,6 +71,7 @@ def test_odd_batch_size(rng):
         assert lab[starts[i] : starts[i] + 64, 0].sum() > 0
 
 
+@pytest.mark.slow
 def test_train_cli_resume_reuses_run_dir(tmp_path):
     from sed_crnn_tpu.apps import train as train_app
 
